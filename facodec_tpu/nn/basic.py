@@ -1,0 +1,70 @@
+"""Linear / Embedding / LayerNorm with torch-default initializers and
+torch-layout parameters (for drop-in checkpoint conversion)."""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from facodec_tpu.nn.conv import torch_conv_kernel_init
+
+
+class Linear(nn.Module):
+    """y = x @ W^T + b with torch-layout weight (out, in)."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        init = torch_conv_kernel_init(self.in_features)
+        w = self.param("weight", init, (self.out_features, self.in_features))
+        y = x @ w.T
+        if self.use_bias:
+            b = self.param("bias", init, (self.out_features,))
+            y = y + b
+        return y
+
+
+class Embedding(nn.Module):
+    """Lookup table with torch init N(0, 1); weight (num_embeddings, dim)."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "weight",
+            lambda rng, shape: jax.random.normal(rng, shape, jnp.float32),
+            (self.num_embeddings, self.features),
+        )
+        return jnp.take(w, ids, axis=0)
+
+    @property
+    def table(self) -> jnp.ndarray:
+        return self.get_variable("params", "weight")
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis, matching torch semantics/eps."""
+
+    features: int
+    eps: float = 1e-5
+    elementwise_affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.elementwise_affine:
+            gamma = self.param("weight", lambda *_: jnp.ones((self.features,)), ())
+            beta = self.param("bias", lambda *_: jnp.zeros((self.features,)), ())
+            y = y * gamma + beta
+        return y

@@ -1,0 +1,119 @@
+"""Multi-layer unidirectional LSTM as a `lax.scan` recurrence.
+
+TPU-native design: the input projection for the whole sequence is hoisted out
+of the recurrence as one big (B*T, C) x (C, 4H) MXU matmul; the scan carries
+only the (h, c) state and performs the (B, H) x (H, 4H) recurrent matmul per
+step. Gate ordering and parameter naming match `torch.nn.LSTM`
+(weight_ih_l{k} (4H, in), weight_hh_l{k} (4H, H), bias_ih/bias_hh), so the
+reference's SLSTM weights (dac/model/encodec.py:272-288) convert 1:1.
+
+The explicit (h, c) carry is what makes chunked streaming inference exact —
+see facodec_tpu/models/streaming.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+LSTMState = Tuple[jnp.ndarray, jnp.ndarray]  # (h, c) each (num_layers, B, H)
+
+
+def _torch_lstm_init(hidden_size: int):
+    bound = 1.0 / math.sqrt(hidden_size)
+
+    def init(rng, shape, dtype=jnp.float32):
+        return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def lstm_layer(
+    x: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    b_ih: jnp.ndarray,
+    b_hh: jnp.ndarray,
+    h0: jnp.ndarray,
+    c0: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One LSTM layer over (B, T, C). Returns (y (B,T,H), hT, cT)."""
+    # Hoist the input projection out of the scan: one MXU matmul for all steps.
+    x_proj = x @ w_ih.T + (b_ih + b_hh)  # (B, T, 4H)
+    w_hh_t = w_hh.T  # (H, 4H)
+    hidden = w_hh.shape[1]
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + h @ w_hh_t  # (B, 4H)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) scan over time
+    (hT, cT), ys = jax.lax.scan(step, (h0, c0), xs)
+    return jnp.swapaxes(ys, 0, 1), hT, cT
+
+
+class LSTM(nn.Module):
+    """torch-compatible stacked LSTM over NTC input with explicit state I/O."""
+
+    input_size: int
+    hidden_size: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, state: Optional[LSTMState] = None
+    ) -> Tuple[jnp.ndarray, LSTMState]:
+        B = x.shape[0]
+        H = self.hidden_size
+        init = _torch_lstm_init(H)
+        if state is None:
+            h0 = jnp.zeros((self.num_layers, B, H), x.dtype)
+            c0 = jnp.zeros((self.num_layers, B, H), x.dtype)
+        else:
+            h0, c0 = state
+        hs, cs = [], []
+        y = x
+        for layer in range(self.num_layers):
+            in_size = self.input_size if layer == 0 else H
+            w_ih = self.param(f"weight_ih_l{layer}", init, (4 * H, in_size))
+            w_hh = self.param(f"weight_hh_l{layer}", init, (4 * H, H))
+            b_ih = self.param(f"bias_ih_l{layer}", init, (4 * H,))
+            b_hh = self.param(f"bias_hh_l{layer}", init, (4 * H,))
+            y, hT, cT = lstm_layer(y, w_ih, w_hh, b_ih, b_hh, h0[layer], c0[layer])
+            hs.append(hT)
+            cs.append(cT)
+        return y, (jnp.stack(hs), jnp.stack(cs))
+
+
+class SLSTM(nn.Module):
+    """Skip-connected LSTM block sitting mid-encoder/decoder
+    (reference dac/model/encodec.py:272-288). NTC in/out."""
+
+    dimension: int
+    num_layers: int = 2
+    skip: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, state: Optional[LSTMState] = None, return_state: bool = False
+    ):
+        y, new_state = LSTM(
+            self.dimension, self.dimension, self.num_layers, name="lstm"
+        )(x, state)
+        if self.skip:
+            y = y + x
+        if return_state:
+            return y, new_state
+        return y

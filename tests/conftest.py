@@ -1,0 +1,27 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+multi-chip sharding tests run anywhere (the driver validates the real
+multi-chip path separately via __graft_entry__.dryrun_multichip).
+
+Matmul/conv precision is pinned to 'highest' for golden-parity tests —
+on TPU the default is bf16-accumulated, which is the production fast path
+but not bit-comparable to torch CPU float32.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
