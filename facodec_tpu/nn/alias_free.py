@@ -11,7 +11,7 @@ them.
 from __future__ import annotations
 
 import math
-from typing import Callable
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -113,9 +113,16 @@ class DownSample1d(nn.Module):
 
 
 class Activation1d(nn.Module):
-    """2x-oversampled activation: up -> act -> down (reference act.py:7-29)."""
+    """2x-oversampled activation: up -> act -> down (reference act.py:7-29).
 
-    activation: Callable[[jnp.ndarray], jnp.ndarray]
+    When `snake_features` is set, the activation is a SnakeBeta child module
+    named 'act' (mirroring the torch key `...block.N.act.alpha`); otherwise
+    `act_fn` is applied as a plain function.
+    """
+
+    snake_features: Optional[int] = None
+    alpha_logscale: bool = True
+    act_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
     up_ratio: int = 2
     down_ratio: int = 2
     up_kernel_size: int = 12
@@ -123,7 +130,12 @@ class Activation1d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from facodec_tpu.nn.activations import SnakeBeta
+
         x = UpSample1d(self.up_ratio, self.up_kernel_size, name="upsample")(x)
-        x = self.activation(x)
+        if self.snake_features is not None:
+            x = SnakeBeta(self.snake_features, self.alpha_logscale, name="act")(x)
+        else:
+            x = self.act_fn(x)
         x = DownSample1d(self.down_ratio, self.down_kernel_size, name="downsample")(x)
         return x

@@ -19,6 +19,7 @@ class Linear(nn.Module):
     in_features: int
     out_features: int
     use_bias: bool = True
+    bias_init: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -26,29 +27,29 @@ class Linear(nn.Module):
         w = self.param("weight", init, (self.out_features, self.in_features))
         y = x @ w.T
         if self.use_bias:
-            b = self.param("bias", init, (self.out_features,))
+            b = self.param("bias", self.bias_init or init, (self.out_features,))
             y = y + b
         return y
 
 
 class Embedding(nn.Module):
-    """Lookup table with torch init N(0, 1); weight (num_embeddings, dim)."""
+    """Lookup table with torch init N(0, 1); weight (num_embeddings, dim).
+
+    setup-style so `weight` is materialized even on paths that only read the
+    table (e.g. the VQ nearest-neighbor search) without a lookup call."""
 
     num_embeddings: int
     features: int
 
-    @nn.compact
-    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
-        w = self.param(
+    def setup(self):
+        self.weight = self.param(
             "weight",
             lambda rng, shape: jax.random.normal(rng, shape, jnp.float32),
             (self.num_embeddings, self.features),
         )
-        return jnp.take(w, ids, axis=0)
 
-    @property
-    def table(self) -> jnp.ndarray:
-        return self.get_variable("params", "weight")
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return jnp.take(self.weight, ids, axis=0)
 
 
 class LayerNorm(nn.Module):

@@ -55,11 +55,20 @@ def apply_weight_norm(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return v * (g / _norm_except_dim0(v))
 
 
+def xavier_uniform_conv_init(rng, shape, dtype=jnp.float32):
+    """torch nn.init.xavier_uniform_ on a conv weight (O, I, *K)."""
+    receptive = int(np.prod(shape[2:])) if len(shape) > 2 else 1
+    fan_out = shape[0] * receptive
+    fan_in = shape[1] * receptive
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, minval=-a, maxval=a)
+
+
 class _ConvBase(nn.Module):
     """Shared weight/bias parameter handling for conv layers (torch layouts)."""
 
     def _weight(self, shape: Tuple[int, ...], fan_in: int, use_weight_norm: bool):
-        init = torch_conv_kernel_init(fan_in)
+        init = getattr(self, "kernel_init", None) or torch_conv_kernel_init(fan_in)
         if use_weight_norm:
             v = self.param("weight_v", init, shape)
             g = self.param("weight_g", lambda rng, _: _norm_except_dim0(v), None)
@@ -154,6 +163,7 @@ class Conv1d(_ConvBase):
     padding: int = 0
     use_bias: bool = True
     weight_norm: bool = False
+    kernel_init: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
