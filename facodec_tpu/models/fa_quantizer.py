@@ -110,6 +110,10 @@ class FAquantizer(nn.Module):
     timbre_norm: bool = False
     sample_rate: int = 24000
     hop_length: int = 300
+    # widths the reference hard-codes (quantize.py:195, 211-213); the
+    # defaults reproduce them exactly — override only for scaled-down tests
+    style_hidden_dim: int = 512
+    prosody_hidden_dim: int = 256
 
     prob_random_mask_residual: float = 0.75
 
@@ -125,31 +129,34 @@ class FAquantizer(nn.Module):
         self.prosody_quantizer = rvq(self.n_p_codebooks, "prosody_quantizer")
         self.content_quantizer = rvq(self.n_c_codebooks, "content_quantizer")
         self.residual_quantizer = rvq(self.n_r_codebooks, "residual_quantizer")
+        d = self.in_dim  # reference hard-codes 1024 here; equal for in_dim=1024
         if not self.timbre_norm:
             self.timbre_quantizer = rvq(self.n_t_codebooks, "timbre_quantizer")
         else:
             self.timbre_encoder = StyleEncoder(
-                in_dim=80, hidden_dim=512, out_dim=self.in_dim, name="timbre_encoder"
+                in_dim=80, hidden_dim=self.style_hidden_dim, out_dim=d,
+                name="timbre_encoder",
             )
             # bias init: gamma half -> 1, beta half -> 0 (reference :196-198)
             self.timbre_linear = Linear(
-                1024, 1024 * 2, name="timbre_linear",
+                d, d * 2, name="timbre_linear",
                 bias_init=lambda rng, shape: jnp.concatenate(
-                    [jnp.ones((1024,)), jnp.zeros((1024,))]
+                    [jnp.ones((d,)), jnp.zeros((d,))]
                 ),
             )
-            self.timbre_ln = LayerNorm(1024, elementwise_affine=False, name="timbre_norm")
+            self.timbre_ln = LayerNorm(d, elementwise_affine=False, name="timbre_norm")
         if self.separate_prosody_encoder:
+            h = self.prosody_hidden_dim
             self.melspec_linear = SConv1d(
-                20, 256, 1, causal=self.causal, norm="none", name="melspec_linear"
+                20, h, 1, causal=self.causal, norm="none", name="melspec_linear"
             )
             self.melspec_encoder = WN(
-                hidden_channels=256, kernel_size=5, dilation_rate=1, n_layers=8,
+                hidden_channels=h, kernel_size=5, dilation_rate=1, n_layers=8,
                 gin_channels=0, p_dropout=0.2, causal=self.causal,
                 name="melspec_encoder",
             )
             self.melspec_linear2 = SConv1d(
-                256, 1024, 1, causal=self.causal, norm="none", name="melspec_linear2"
+                h, d, 1, causal=self.causal, norm="none", name="melspec_linear2"
             )
 
     # ------------------------------------------------------------------ mel
@@ -237,10 +244,7 @@ class FAquantizer(nn.Module):
         commitment = commit_p + commit_c + commit_r
         codebook_l = cb_p + cb_c + cb_r
 
-        style = self.timbre_linear(timbre)  # (B, 2d)
-        gamma, beta = jnp.split(style, 2, axis=-1)
-        outs = self.timbre_ln(outs)
-        outs = outs * gamma[:, None, :] + beta[:, None, :]
+        outs = self._timbre_condition(outs, timbre)
 
         if return_codes:
             return outs, quantized, commitment, codebook_l, timbre, codes
@@ -332,6 +336,54 @@ class FAquantizer(nn.Module):
         z_t = self.timbre_quantizer.from_codes(code_t)[0]
         return z_c + z_p + z_t, [z_c, z_p, z_t]
 
+    # ----------------------------------------------------------- streaming
+    def _timbre_condition(self, outs: jnp.ndarray, timbre: jnp.ndarray) -> jnp.ndarray:
+        """LayerNorm * gamma + beta AdaIN injection (reference :444-449)."""
+        style = self.timbre_linear(timbre)
+        gamma, beta = jnp.split(style, 2, axis=-1)
+        outs = self.timbre_ln(outs)
+        return outs * gamma[:, None, :] + beta[:, None, :]
+
+    def encode_streaming(
+        self,
+        x: jnp.ndarray,
+        mel20: jnp.ndarray,
+        timbre: jnp.ndarray,
+        wn_stream,
+        n_c: int = 1,
+        first: bool = False,
+    ):
+        """Frame-synchronous chunk encode (timbre_norm models, eval).
+
+        x: (B, T, in_dim) encoder latent chunk; mel20: (B, T, 20) aligned
+        normalized log-mel; timbre: (B, in_dim) fixed stream timbre vector;
+        wn_stream: prosody WN conv carries. Matches forward_v2 eval exactly
+        per frame. Returns (outs, [codes_p, codes_c, codes_r], new_wn_stream).
+        """
+        f0_input = self.melspec_linear(mel20)
+        mask = jnp.ones((f0_input.shape[0], f0_input.shape[1], 1), f0_input.dtype)
+        f0_input, new_wn = self.melspec_encoder(
+            f0_input, mask, stream=wn_stream, first=first
+        )
+        f0_input = self.melspec_linear2(f0_input)
+        z_p, codes_p, _, _, _ = self.prosody_quantizer(f0_input, 1)
+        z_c, codes_c, _, _, _ = self.content_quantizer(x, n_c)
+        z_r, codes_r, _, _, _ = self.residual_quantizer(x - z_p - z_c, 3)
+        outs = self._timbre_condition(z_p + z_c + z_r, timbre)
+        return outs, [codes_p, codes_c, codes_r], new_wn
+
+    def decode_from_codes_v2(
+        self, codes_p: jnp.ndarray, codes_c: jnp.ndarray,
+        codes_r: Optional[jnp.ndarray], timbre: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """(B, n, T) factorized code streams + timbre -> decoder-ready latent
+        (timbre_norm models). codes_r=None drops the residual stream."""
+        outs = self.prosody_quantizer.from_codes(codes_p)[0]
+        outs = outs + self.content_quantizer.from_codes(codes_c)[0]
+        if codes_r is not None:
+            outs = outs + self.residual_quantizer.from_codes(codes_r)[0]
+        return self._timbre_condition(outs, timbre)
+
 
 class FApredictors(nn.Module):
     """Supervision + gradient-reversal disentanglement heads
@@ -348,23 +400,31 @@ class FApredictors(nn.Module):
     norm_f0: bool = True
     timbre_norm: bool = False
     use_gr_content_global_f0: bool = False
+    # class counts the reference hard-codes (quantize.py:459-506); defaults
+    # reproduce them — override only for scaled-down tests
+    n_phone_classes: int = 1024
+    n_speakers: int = 20000
 
     def setup(self):
         self.f0_predictor = CNNLSTM(self.in_dim, 1, 2, name="f0_predictor")
-        self.phone_predictor = CNNLSTM(self.in_dim, 1024, 1, name="phone_predictor")
+        self.phone_predictor = CNNLSTM(
+            self.in_dim, self.n_phone_classes, 1, name="phone_predictor"
+        )
         if self.timbre_norm:
-            self.timbre_predictor = Linear(self.in_dim, 20000, name="timbre_predictor")
+            self.timbre_predictor = Linear(
+                self.in_dim, self.n_speakers, name="timbre_predictor"
+            )
             self.global_f0_predictor = Linear(self.in_dim, 1, name="global_f0_predictor")
         else:
             self.timbre_predictor = CNNLSTM(
-                self.in_dim, 20000, 1, global_pred=True, name="timbre_predictor"
+                self.in_dim, self.n_speakers, 1, global_pred=True, name="timbre_predictor"
             )
         self.rev_f0_predictor = CNNLSTM(self.in_dim, 1, 2, name="rev_f0_predictor_1")
         self.rev_content_predictor = CNNLSTM(
-            self.in_dim, 1024, 1, name="rev_content_predictor_1"
+            self.in_dim, self.n_phone_classes, 1, name="rev_content_predictor_1"
         )
         self.rev_timbre_predictor = CNNLSTM(
-            self.in_dim, 20000, 1, global_pred=True, name="rev_timbre_predictor_1"
+            self.in_dim, self.n_speakers, 1, global_pred=True, name="rev_timbre_predictor_1"
         )
         if self.use_gr_content_global_f0:
             self.rev_global_f0_predictor = CNNLSTM(

@@ -23,7 +23,10 @@ def fused_gate(x_in: jnp.ndarray, g_l: jnp.ndarray, hidden: int) -> jnp.ndarray:
 
 
 class WN(nn.Module):
-    """n_layers of dilated conv -> gate -> 1x1 residual/skip split."""
+    """n_layers of dilated conv -> gate -> 1x1 residual/skip split.
+
+    Streaming (causal only): `stream` carries each in_layer's conv left
+    context; returns (y, new_state)."""
 
     hidden_channels: int
     kernel_size: int
@@ -40,13 +43,16 @@ class WN(nn.Module):
         x_mask: Optional[jnp.ndarray] = None,
         g: Optional[jnp.ndarray] = None,
         train: bool = False,
-    ) -> jnp.ndarray:
+        stream=None,
+        first: bool = False,
+    ):
         """x: (B, T, H); x_mask: (B, T, 1) or None; g: (B, Tg, gin) or None
         (global conditioning uses Tg == 1 and broadcasts)."""
         H = self.hidden_channels
         if x_mask is None:
             x_mask = jnp.ones((x.shape[0], x.shape[1], 1), x.dtype)
         output = jnp.zeros_like(x)
+        new_state = {}
 
         if g is not None:
             g = SConv1d(
@@ -57,10 +63,16 @@ class WN(nn.Module):
         drop = nn.Dropout(self.p_dropout, deterministic=not train)
         for i in range(self.n_layers):
             dilation = self.dilation_rate**i
-            x_in = SConv1d(
+            conv = SConv1d(
                 H, 2 * H, self.kernel_size, dilation=dilation, causal=self.causal,
                 norm="weight_norm", name=f"in_layers_{i}",
-            )(x)
+            )
+            if stream is not None:
+                x_in, new_state[f"in_layers_{i}"] = conv(
+                    x, stream[f"in_layers_{i}"], first=first
+                )
+            else:
+                x_in = conv(x)
             if g is not None:
                 g_l = g[..., i * 2 * H : (i + 1) * 2 * H]
             else:
@@ -77,4 +89,18 @@ class WN(nn.Module):
                 output = output + res_skip[..., H:]
             else:
                 output = output + res_skip
-        return output * x_mask
+        out = output * x_mask
+        if stream is not None:
+            return out, new_state
+        return out
+
+
+def wn_stream_state(wn: WN, batch: int) -> dict:
+    """Zero left-context carries for every in_layer (causal streaming)."""
+    H, k = wn.hidden_channels, wn.kernel_size
+    return {
+        f"in_layers_{i}": jnp.zeros(
+            (batch, (k - 1) * (wn.dilation_rate**i), H)
+        )
+        for i in range(wn.n_layers)
+    }

@@ -245,6 +245,11 @@ class SConv1d(_ConvBase):
     causal=True: left-pad `(k_eff - stride)`, right-pad `extra` so the final
     window is full. causal=False: asymmetric split. Default reflect padding
     with the short-input fallback.
+
+    Streaming (causal only): pass `state` (B, k_eff - stride, C_in) — the
+    carried left context replaces padding and the conv runs valid; chunk
+    length must be a stride multiple. `init_state`/`state_len` build carries.
+    With state, returns (y, new_state).
     """
 
     in_channels: int
@@ -258,17 +263,43 @@ class SConv1d(_ConvBase):
     pad_mode: str = "reflect"
     norm: str = "weight_norm"
 
+    @property
+    def state_len(self) -> int:
+        k_eff = (self.kernel_size - 1) * self.dilation + 1
+        return k_eff - self.stride
+
+    def init_state(self, batch: int, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((batch, self.state_len, self.in_channels), dtype)
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        state: Optional[jnp.ndarray] = None,
+        first: bool = False,
+    ):
         k_eff = (self.kernel_size - 1) * self.dilation + 1
         padding_total = k_eff - self.stride
-        extra = get_extra_padding_for_conv1d(x.shape[1], k_eff, self.stride, padding_total)
-        if self.causal:
-            x = pad1d(x, (padding_total, extra), mode=self.pad_mode)
+        if state is not None:
+            assert self.causal, "streaming state requires causal mode"
+            assert x.shape[1] % self.stride == 0, "chunk must be a stride multiple"
+            if first:
+                # chunk 0 reproduces the full forward's left reflect-pad
+                # (the pad values come from the chunk itself)
+                x = pad1d(x, (padding_total, 0), mode=self.pad_mode)
+            else:
+                x = jnp.concatenate([state, x], axis=1)
+            new_state = x[:, x.shape[1] - padding_total :] if padding_total else x[:, :0]
         else:
-            pr = padding_total // 2
-            pl = padding_total - pr
-            x = pad1d(x, (pl, pr + extra), mode=self.pad_mode)
+            extra = get_extra_padding_for_conv1d(
+                x.shape[1], k_eff, self.stride, padding_total
+            )
+            if self.causal:
+                x = pad1d(x, (padding_total, extra), mode=self.pad_mode)
+            else:
+                pr = padding_total // 2
+                pl = padding_total - pr
+                x = pad1d(x, (pl, pr + extra), mode=self.pad_mode)
 
         fan_in = (self.in_channels // self.groups) * self.kernel_size
         w = self._weight(
@@ -277,14 +308,25 @@ class SConv1d(_ConvBase):
             self.norm == "weight_norm",
         )
         b = self._bias(self.out_channels, fan_in, self.use_bias)
-        return conv1d_ntc(
+        y = conv1d_ntc(
             x, w, b, stride=self.stride, dilation=self.dilation, groups=self.groups
         )
+        if state is not None:
+            return y, new_state
+        return y
 
 
 class SConvTranspose1d(_ConvBase):
     """Streaming-aware ConvTranspose1d with right-trim for causal decoding
-    (reference dac/model/encodec.py:231-270)."""
+    (reference dac/model/encodec.py:231-270).
+
+    Streaming (causal, trim_right_ratio=1 only): the trimmed right tail of
+    each chunk's raw transpose-conv output — the contribution of this chunk's
+    inputs to FUTURE output samples — is carried as `state` (B, k - s, C_out)
+    and overlap-added onto the next chunk's head. Bias is applied after the
+    overlap-add so it lands exactly once per output sample. With state,
+    returns (y, new_state).
+    """
 
     in_channels: int
     out_channels: int
@@ -295,8 +337,15 @@ class SConvTranspose1d(_ConvBase):
     trim_right_ratio: float = 1.0
     norm: str = "weight_norm"
 
+    @property
+    def state_len(self) -> int:
+        return self.kernel_size - self.stride
+
+    def init_state(self, batch: int, dtype=jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((batch, self.state_len, self.out_channels), dtype)
+
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, state: Optional[jnp.ndarray] = None):
         assert self.causal or self.trim_right_ratio == 1.0
         padding_total = self.kernel_size - self.stride
         fan_in = self.out_channels * self.kernel_size
@@ -306,6 +355,23 @@ class SConvTranspose1d(_ConvBase):
             self.norm == "weight_norm",
         )
         b = self._bias(self.out_channels, fan_in, self.use_bias)
+
+        if state is not None:
+            assert self.causal and self.trim_right_ratio == 1.0, (
+                "streaming requires causal with trim_right_ratio=1"
+            )
+            T = x.shape[1]
+            y = conv_transpose1d_ntc(x, w, None, stride=self.stride)
+            emit = y[:, : T * self.stride]
+            if padding_total:
+                emit = emit.at[:, :padding_total].add(state)
+                new_state = y[:, T * self.stride :]
+            else:
+                new_state = y[:, :0]
+            if b is not None:
+                emit = emit + b[None, None, :]
+            return emit, new_state
+
         y = conv_transpose1d_ntc(x, w, b, stride=self.stride)
         if self.causal:
             pr = math.ceil(padding_total * self.trim_right_ratio)

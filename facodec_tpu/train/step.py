@@ -1,0 +1,227 @@
+"""The jitted codec GAN training step.
+
+Functional re-design of the reference's two-phase loop body
+(/root/reference/train.py:171-380):
+
+  phase D: d(stop_grad(pred)), d(real) -> LS-GAN loss -> update discriminator
+  phase G: spectral + adversarial (vs the *updated* discriminator, matching
+           the reference's step ordering) + predictor + VQ losses -> update
+           encoder / quantizer / decoder / fa_predictors
+
+TPU-native structure: the generator forward runs ONCE per step via `jax.vjp`
+— the pullback is held across the discriminator update and then invoked with
+the generator-loss cotangents. (The reference gets this for free from
+torch's retained autograd graph; a naive JAX port would re-run the
+generator.) Both phases live in one jitted function, so XLA fuses the whole
+step; under pjit the same function is the multi-chip data-parallel step with
+gradient all-reduce inserted by the SPMD partitioner.
+
+Teacher supervision (w2v CTC phonemes, speaker labels, raw F0) enters
+through the batch — extracted offline by the data pipeline (or a JAX JDC) —
+instead of hosting torch teacher models inside the loop (train.py:181-186,
+340 does it inline, which is the reference's main throughput wart).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Mapping, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from facodec_tpu.losses import (
+    discriminator_loss,
+    focal_loss,
+    generator_adv_losses,
+    l1_loss,
+    log_norm,
+    mel_spectrogram_loss,
+    multi_scale_stft_loss,
+    smooth_l1_loss,
+)
+from facodec_tpu.losses.supervision import cross_entropy
+from facodec_tpu.train.optimizers import GEN_KEYS
+from facodec_tpu.train.targets import normalize_f0
+
+# loss weights hard-coded by the reference (train.py:357-358)
+LAMBDA_MEL = 15.0
+LAMBDA_FEAT = 1.0
+LAMBDA_ADV = 1.0
+LAMBDA_COMMIT = 0.25
+LAMBDA_CODEBOOK = 1.0
+LAMBDA_F0 = 1.0
+LAMBDA_UV = 1.0
+LAMBDA_CONTENT = 5.0
+LAMBDA_SPK = 1.0
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    opt_states: Dict[str, Any]
+    step: jnp.ndarray
+
+
+def make_codec_train_step(models: Mapping[str, Any], optimizers: Mapping[str, Any]):
+    """Returns `train_step(state, batch, rng) -> (state, metrics)` ready for
+    jax.jit / pjit.
+
+    batch dict (all fixed-shape, segment cropping happens in the pipeline):
+      wave_seg   (B, Tw)   24 kHz segment, Tw = frames * 300
+      mel_seg    (B, F, 80) normalized log-mel of the segment
+      f0         (B, F)    raw F0 Hz from the pitch teacher
+      phone_ids  (B, F)    frame phoneme ids from the CTC teacher
+      spk_labels (B,)      utterance speaker ids from the speaker teacher
+      full_waves (B, Tmax) zero-padded full utterances (timbre encoder)
+      wave_lens  (B,)      valid lengths of full_waves
+    """
+    encoder, quantizer = models["encoder"], models["quantizer"]
+    decoder, discriminator = models["decoder"], models["discriminator"]
+    fa_predictors = models["fa_predictors"]
+
+    def gen_forward(gen_params, batch, rng):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        wave = batch["wave_seg"][:, :, None]
+        z = encoder.apply({"params": gen_params["encoder"]}, wave)
+        outs, quantized, commit, cb, timbre = quantizer.apply(
+            {"params": gen_params["quantizer"]},
+            z,
+            batch["wave_seg"],
+            n_c=2,
+            full_waves=batch["full_waves"],
+            wave_lens=batch["wave_lens"],
+            train=True,
+            rngs={"dropout": r1},
+        )
+        preds, rev_preds = fa_predictors.apply(
+            {"params": gen_params["fa_predictors"]}, quantized, timbre,
+            rngs={"dropout": r2},
+        )
+        pred_wave = decoder.apply({"params": gen_params["decoder"]}, outs)
+        return pred_wave, commit, cb, preds, rev_preds
+
+    def disc_loss_fn(disc_params, pred_wave, real_wave):
+        d_fake = discriminator.apply({"params": disc_params}, pred_wave)
+        d_real = discriminator.apply({"params": disc_params}, real_wave)
+        return discriminator_loss(d_fake, d_real)
+
+    def gen_loss_from_outputs(gen_outs, disc_params, batch):
+        pred_wave, commit, cb, preds, rev_preds = gen_outs
+        real_wave = batch["wave_seg"][:, :, None]
+
+        # ---- spectral
+        pw = pred_wave[:, :, 0]
+        rw = real_wave[:, :, 0]
+        mel_l = mel_spectrogram_loss(pw, rw)
+        stft_l = multi_scale_stft_loss(pw, rw)
+        wav_l = l1_loss(pw, rw)
+
+        # ---- adversarial vs the UPDATED discriminator
+        d_fake = discriminator.apply({"params": disc_params}, pred_wave)
+        d_real = discriminator.apply({"params": disc_params}, real_wave)
+        adv_l, feat_l = generator_adv_losses(d_fake, d_real)
+
+        # ---- predictor supervision (+ gradient-reversal branches)
+        f0_targets = normalize_f0(batch["f0"])
+        real_norm = log_norm(batch["mel_seg"])  # (B, F)
+
+        T = min(preds["f0"].shape[1], f0_targets.shape[-1])
+        f0_t = f0_targets[:, :T]
+        uv_t = real_norm[:, :T]
+        f0_l = smooth_l1_loss(preds["f0"][:, :T, 0], f0_t)
+        uv_l = smooth_l1_loss(preds["uv"][:, :T, 0], uv_t)
+        rev_f0_l = (
+            smooth_l1_loss(rev_preds["rev_f0"][:, :T, 0], f0_t)
+            if rev_preds["rev_f0"] is not None else 0.0
+        )
+        rev_uv_l = (
+            smooth_l1_loss(rev_preds["rev_uv"][:, :T, 0], uv_t)
+            if rev_preds["rev_uv"] is not None else 0.0
+        )
+
+        phone_t = batch["phone_ids"][:, :T]
+        content_l = focal_loss(preds["content"][:, :T], phone_t)
+        rev_content_l = (
+            focal_loss(rev_preds["rev_content"][:, :T], phone_t)
+            if rev_preds["rev_content"] is not None else 0.0
+        )
+
+        spk_l = cross_entropy(preds["timbre"], batch["spk_labels"])
+        x_spk_l = (
+            cross_entropy(rev_preds["x_timbre"], batch["spk_labels"])
+            if rev_preds["x_timbre"] is not None else 0.0
+        )
+
+        loss = (
+            mel_l * LAMBDA_MEL
+            + feat_l * LAMBDA_FEAT
+            + adv_l * LAMBDA_ADV
+            + commit * LAMBDA_COMMIT
+            + cb * LAMBDA_CODEBOOK
+            + (f0_l + rev_f0_l) * LAMBDA_F0
+            + (uv_l + rev_uv_l) * LAMBDA_UV
+            + (content_l + rev_content_l) * LAMBDA_CONTENT
+            + (spk_l + x_spk_l) * LAMBDA_SPK
+        )
+        metrics = {
+            "loss/gen_all": loss,
+            "loss/mel": mel_l,
+            "loss/stft": stft_l,
+            "loss/wav_l1": wav_l,
+            "loss/adv_g": adv_l,
+            "loss/feature": feat_l,
+            "loss/commitment": commit,
+            "loss/codebook": cb,
+            "loss/f0": f0_l,
+            "loss/uv": uv_l,
+            "loss/rev_f0": rev_f0_l,
+            "loss/rev_uv": rev_uv_l,
+            "loss/content": content_l,
+            "loss/rev_content": rev_content_l,
+            "loss/spk": spk_l,
+            "loss/rev_spk": x_spk_l,
+        }
+        return loss, metrics
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        params, opt_states = dict(state.params), dict(state.opt_states)
+
+        gen_params = {k: params[k] for k in GEN_KEYS}
+        gen_outs, gen_vjp = jax.vjp(
+            lambda gp: gen_forward(gp, batch, rng), gen_params
+        )
+        pred_wave = gen_outs[0]
+        real_wave = batch["wave_seg"][:, :, None]
+
+        # -------- phase D
+        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
+            params["discriminator"], jax.lax.stop_gradient(pred_wave), real_wave
+        )
+        d_updates, opt_states["discriminator"] = optimizers["discriminator"].update(
+            d_grads, state.opt_states["discriminator"], params["discriminator"]
+        )
+        params["discriminator"] = optax.apply_updates(
+            params["discriminator"], d_updates
+        )
+
+        # -------- phase G (adv term sees the updated discriminator)
+        (g_loss, metrics), outs_ct = jax.value_and_grad(
+            gen_loss_from_outputs, has_aux=True
+        )(gen_outs, params["discriminator"], batch)
+        gen_grads = gen_vjp(outs_ct)[0]
+
+        for key in GEN_KEYS:
+            updates, opt_states[key] = optimizers[key].update(
+                gen_grads[key], state.opt_states[key], params[key]
+            )
+            params[key] = optax.apply_updates(params[key], updates)
+
+        metrics["loss/disc"] = d_loss
+        for key in GEN_KEYS:
+            metrics[f"grad_norm/{key}"] = optax.global_norm(gen_grads[key])
+        metrics["grad_norm/discriminator"] = optax.global_norm(d_grads)
+
+        return TrainState(params, opt_states, state.step + 1), metrics
+
+    return train_step

@@ -18,6 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compilation cache: the GAN train-step compile is ~5 min on CPU;
+# cached repeat runs make the suite fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_facodec_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

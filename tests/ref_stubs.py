@@ -42,12 +42,15 @@ def _install_audiotools():
         def signal_length(self):
             return self.audio_data.shape[-1]
 
-        def stft(self):
-            p = self.stft_params
-            wl, hl = p.window_length, p.hop_length
+        def stft(self, window_length=None, hop_length=None, window_type=None,
+                 match_stride=None):
+            p = self.stft_params or STFTParams()
+            wl = window_length or p.window_length
+            hl = hop_length or p.hop_length
+            ms = p.match_stride if match_stride is None else match_stride
             x = self.audio_data
             B, C, T = x.shape
-            if p.match_stride:
+            if ms:
                 right_pad = math.ceil(T / hl) * hl - T
                 pad = (wl - hl) // 2
             else:
@@ -59,9 +62,74 @@ def _install_audiotools():
                 window=window, return_complex=True, center=True,
             )
             s = s.reshape(B, C, s.shape[-2], s.shape[-1])
-            if p.match_stride:
+            if ms:
                 s = s[..., 2:-2]
+            self.stft_data = s
             return s
+
+        @property
+        def magnitude(self):
+            return torch.abs(self.stft_data)
+
+        @staticmethod
+        def get_mel_filters(sr, n_fft, n_mels, fmin=0.0, fmax=None):
+            """librosa.filters.mel (htk=False, norm='slaney') in numpy."""
+            import numpy as np
+
+            if fmax is None:
+                fmax = sr / 2.0
+
+            def hz_to_mel(f):
+                f = np.asarray(f, dtype=np.float64)
+                mel = 3.0 * f / 200.0
+                logstep = math.log(6.4) / 27.0
+                return np.where(
+                    f >= 1000.0,
+                    15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / logstep,
+                    mel,
+                )
+
+            def mel_to_hz(m):
+                m = np.asarray(m, dtype=np.float64)
+                logstep = math.log(6.4) / 27.0
+                return np.where(
+                    m >= 15.0, 1000.0 * np.exp(logstep * (m - 15.0)), 200.0 * m / 3.0
+                )
+
+            n_freqs = 1 + n_fft // 2
+            fftfreqs = np.linspace(0.0, sr / 2.0, n_freqs)
+            mel_f = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+            fdiff = np.diff(mel_f)
+            ramps = mel_f[:, None] - fftfreqs[None, :]
+            lower = -ramps[:-2] / fdiff[:-1, None]
+            upper = ramps[2:] / fdiff[1:, None]
+            weights = np.maximum(0.0, np.minimum(lower, upper))
+            enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+            weights *= enorm[:, None]
+            return weights.astype(np.float32)
+
+        def mel_spectrogram(self, n_mels, mel_fmin=0.0, mel_fmax=None,
+                            window_length=None, hop_length=None, window_type=None):
+            s = self.stft(window_length, hop_length, window_type)
+            magnitude = torch.abs(s)  # (B, C, F, T)
+            nf = magnitude.shape[2]
+            fb = torch.from_numpy(
+                self.get_mel_filters(self.sample_rate, 2 * (nf - 1), n_mels,
+                                     mel_fmin, mel_fmax)
+            )
+            # (B, C, T, M); the losses reduce elementwise so layout is
+            # irrelevant as long as the *values* match audiotools'.
+            return magnitude.transpose(2, -1) @ fb.T
+
+        def clone(self):
+            return _AudioSignalCopy(self)
+
+
+    class _AudioSignalCopy(AudioSignal):
+        def __init__(self, other):
+            self.audio_data = other.audio_data.clone()
+            self.sample_rate = other.sample_rate
+            self.stft_params = other.stft_params
 
     class STFTParams:
         def __init__(self, window_length=None, hop_length=None, match_stride=None,

@@ -1,0 +1,186 @@
+"""Streaming exactness: chunked stateful inference == full-utterance forward.
+
+The north-star property (SURVEY.md §7 phase 6): with conv left-context
+carries, transpose-conv overlap-add tails, and LSTM state, causal chunked
+encode/decode must reproduce the one-shot forward bit-for-bit (float32
+tolerance). The reference never implements this — its template recomputes
+overlapping windows (dac/model/base.py) — so this is a capability ADDED on
+top of parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from facodec_tpu.models.dac import (Decoder, Encoder, decoder_stream_state,
+                                    encoder_stream_state)
+from facodec_tpu.nn.conv import SConv1d, SConvTranspose1d
+
+TOL = dict(rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,s,d", [(7, 1, 1), (7, 1, 9), (4, 2, 1), (10, 5, 1)])
+def test_sconv1d_streaming_exact(k, s, d):
+    mod = SConv1d(3, 5, k, stride=s, dilation=d, causal=True, norm="none")
+    # exactness requires the FIRST chunk to cover the reflect-pad span
+    # (chunk_0 > padding_total); later chunks only need stride multiples
+    chunk = max(60, 2 * s)
+    T = 3 * chunk
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, T, 3)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    full = mod.apply(params, x)
+
+    state = mod.init_state(2)
+    outs = []
+    for i in range(0, T, chunk):
+        y, state = mod.apply(params, x[:, i : i + chunk], state, first=(i == 0))
+        outs.append(y)
+    got = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full), **TOL)
+
+
+@pytest.mark.parametrize("k,s", [(4, 2), (10, 5), (12, 6)])
+def test_sconvtranspose1d_streaming_exact(k, s):
+    mod = SConvTranspose1d(3, 5, k, stride=s, causal=True, trim_right_ratio=1.0,
+                           norm="none")
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 20, 3)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    full = mod.apply(params, x)
+
+    state = mod.init_state(2)
+    outs = []
+    for i in range(0, 20, 5):
+        y, state = mod.apply(params, x[:, i : i + 5], state)
+        outs.append(y)
+    got = jnp.concatenate(outs, axis=1)
+    assert got.shape == full.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full), **TOL)
+
+
+def test_encoder_streaming_exact():
+    enc = Encoder(d_model=8, strides=(2, 5), d_latent=16, causal=True, lstm=2)
+    hop = 10
+    frames = 36
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, frames * hop, 1)) * 0.3,
+        jnp.float32,
+    )
+    params = enc.init(jax.random.PRNGKey(0), x)
+    full = enc.apply(params, x)
+
+    state = encoder_stream_state(enc, 2)
+    outs = []
+    chunk = 12 * hop  # first chunk must cover the deepest reflect-pad span
+    for i in range(0, x.shape[1], chunk):
+        y, state = enc.apply(params, x[:, i : i + chunk], state, first=(i == 0))
+        outs.append(y)
+    got = jnp.concatenate(outs, axis=1)
+    assert got.shape == full.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full), **TOL)
+
+
+def test_decoder_streaming_exact():
+    dec = Decoder(input_channel=16, channels=32, rates=(5, 2), causal=True, lstm=2)
+    frames = 48
+    z = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, frames, 16)), jnp.float32
+    )
+    params = dec.init(jax.random.PRNGKey(0), z)
+    full = dec.apply(params, z)
+
+    state = decoder_stream_state(dec, 2)
+    outs = []
+    chunk = 12  # first chunk covers the up-sampled residual-unit pad spans
+    for i in range(0, frames, chunk):
+        y, state = dec.apply(params, z[:, i : i + chunk], state, first=(i == 0))
+        outs.append(y)
+    got = jnp.concatenate(outs, axis=1)
+    assert got.shape == full.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full), **TOL)
+
+
+def test_encoder_streaming_jit_chunks():
+    """The chunk step jits once and is reused across chunks (static shapes)."""
+    enc = Encoder(d_model=8, strides=(2, 5), d_latent=16, causal=True, lstm=2)
+    hop, frames, chunk = 10, 24, 120
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, frames * hop, 1)), jnp.float32
+    )
+    params = enc.init(jax.random.PRNGKey(0), x)
+    full = enc.apply(params, x)
+
+    step = jax.jit(lambda p, c, s: enc.apply(p, c, s, first=False))
+    first_step = jax.jit(lambda p, c, s: enc.apply(p, c, s, first=True))
+    state = encoder_stream_state(enc, 1)
+    outs = []
+    for i in range(0, x.shape[1], chunk):
+        fn = first_step if i == 0 else step
+        y, state = fn(params, x[:, i : i + chunk], state)
+        outs.append(y)
+    got = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full), **TOL)
+
+
+def test_full_codec_streaming_exact():
+    """Streaming session (encoder + quantizer incl. mel/WN/RVQ + decoder)
+    reproduces the one-shot forward_v2 eval path: bit-exact codes, matching
+    conditioned latents and waves."""
+    from facodec_tpu.models.builder import init_params
+    from facodec_tpu.models.fa_quantizer import FAquantizer
+    from facodec_tpu.models.streaming import StreamingFACodec
+
+    enc = Encoder(d_model=4, strides=(2, 5, 5, 6), d_latent=64, causal=True, lstm=2)
+    qt = FAquantizer(in_dim=64, n_p_codebooks=1, n_c_codebooks=2, n_t_codebooks=2,
+                     n_r_codebooks=3, codebook_size=32, codebook_dim=4,
+                     quantizer_dropout=0.5, causal=True,
+                     separate_prosody_encoder=True, timbre_norm=True,
+                     style_hidden_dim=32, prosody_hidden_dim=16)
+    dec = Decoder(input_channel=64, channels=32, rates=(6, 5, 5, 2), causal=True, lstm=2)
+    models = dict(encoder=enc, quantizer=qt, decoder=dec)
+    params = init_params(models, jax.random.PRNGKey(0), seg_frames=10)
+
+    HOP, frames, chunk = 300, 36, 12
+    wave = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, frames * HOP)) * 0.2, jnp.float32
+    )
+
+    # ---- one-shot reference path
+    z = enc.apply({"params": params["encoder"]}, wave[:, :, None])
+    outs_full, _, _, _, timbre, codes_full = qt.apply(
+        {"params": params["quantizer"]}, z, wave, n_c=1, return_codes=True
+    )
+    wave_full = dec.apply({"params": params["decoder"]}, outs_full)
+
+    # ---- streaming session
+    sess = StreamingFACodec(enc, qt, dec, params, chunk_frames=chunk, n_c=1)
+    est = sess.init_encode_state(2)
+    dst = sess.init_decode_state(2)
+    outs_chunks, codes_chunks, wave_chunks = [], [], []
+    for i in range(0, frames * HOP, chunk * HOP):
+        est, outs, codes = sess.encode_chunk(est, wave[:, i : i + chunk * HOP], timbre)
+        dst, w = sess.decode_chunk(dst, outs)
+        outs_chunks.append(outs)
+        codes_chunks.append(codes)
+        wave_chunks.append(w)
+    outs_tail, codes_tail = sess.flush_encode(est, timbre)
+    dst, w_tail = sess.decode_chunk(dst, outs_tail)
+    outs_chunks.append(outs_tail)
+    codes_chunks.append(codes_tail)
+    wave_chunks.append(w_tail)
+
+    outs_stream = jnp.concatenate(outs_chunks, axis=1)
+    wave_stream = jnp.concatenate(wave_chunks, axis=1)
+    codes_stream = [
+        jnp.concatenate([c[j] for c in codes_chunks], axis=-1) for j in range(3)
+    ]
+
+    assert outs_stream.shape == outs_full.shape
+    for got, want in zip(codes_stream, codes_full):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(
+        np.asarray(outs_stream), np.asarray(outs_full), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(wave_stream), np.asarray(wave_full[:, :, 0]), rtol=2e-4, atol=2e-4
+    )
