@@ -1,0 +1,203 @@
+"""High-level user API: load a codec, encode/decode/reconstruct/convert.
+
+The TPU-native equivalent of the reference's inference surface
+(reconstruct.py:19-65, reconstruct_redecoder.py:45-128, webui.py:54-81),
+wrapped in one object. Accepts BOTH checkpoint formats:
+  * the reference's torch `pytorch_model.bin` (one state_dict per module) —
+    converted on load via utils/checkpoint.py;
+  * this framework's Orbax training checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facodec_tpu.codec_file import FACodecFile
+from facodec_tpu.models.builder import build_model, init_params
+from facodec_tpu.utils.config import load_config
+
+SR = 24000
+HOP = 300
+
+
+def _load_params(ckpt_path: str, models: Dict[str, Any], templates) -> Dict[str, Any]:
+    if ckpt_path.endswith((".bin", ".pth", ".pt")):
+        from facodec_tpu.utils.checkpoint import load_torch_checkpoint_file
+
+        converted = load_torch_checkpoint_file(ckpt_path, templates)
+        return {k: converted[k] for k in models if k in converted}
+    # orbax directory (training checkpoint)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(ckpt_path),
+        {"params": templates, "opt_states": None, "step": np.asarray(0),
+         "epoch": np.asarray(0)},
+    )
+    return restored["params"]
+
+
+@dataclass
+class FACodec:
+    """The codec: encoder + factorized quantizer + decoder."""
+
+    models: Dict[str, Any]
+    params: Dict[str, Any]
+    n_c: int = 2
+
+    # jitted lazily per (batch, length) signature
+    _enc: Any = field(default=None, repr=False)
+    _dec: Any = field(default=None, repr=False)
+
+    @classmethod
+    def from_config(
+        cls, config_path: str, ckpt_path: Optional[str] = None,
+        rng_seed: int = 0, n_c: int = 2,
+    ) -> "FACodec":
+        cfg = load_config(config_path)
+        models = build_model(cfg.model_params, stage="codec")
+        models = {k: models[k] for k in ("encoder", "quantizer", "decoder")}
+        templates = init_params(models, jax.random.PRNGKey(rng_seed))
+        params = _load_params(ckpt_path, models, templates) if ckpt_path else templates
+        return cls(models=models, params=params, n_c=n_c)
+
+    def __post_init__(self):
+        enc, qt, dec = (self.models[k] for k in ("encoder", "quantizer", "decoder"))
+        n_c = self.n_c
+
+        def encode(params, wave):
+            z = enc.apply({"params": params["encoder"]}, wave[:, :, None])
+            outs, quantized, commit, cb, timbre, codes = qt.apply(
+                {"params": params["quantizer"]}, z, wave, n_c=n_c, return_codes=True
+            )
+            return outs, codes, timbre
+
+        def decode_codes(params, codes_p, codes_c, codes_r, timbre):
+            outs = qt.apply(
+                {"params": params["quantizer"]}, codes_p, codes_c, codes_r,
+                timbre, method=qt.decode_from_codes_v2,
+            )
+            return dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
+
+        def decode_outs(params, outs):
+            return dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
+
+        self._enc = jax.jit(encode)
+        self._dec_codes = jax.jit(decode_codes)
+        self._dec_outs = jax.jit(decode_outs)
+
+    # ------------------------------------------------------------- numpy API
+    def _prep(self, wave: np.ndarray) -> jnp.ndarray:
+        wave = np.asarray(wave, np.float32)
+        if wave.ndim == 1:
+            wave = wave[None]
+        T = wave.shape[-1] // HOP * HOP
+        return jnp.asarray(wave[:, :T])
+
+    def encode(self, wave: np.ndarray) -> FACodecFile:
+        """wave (T,) or (B, T) float 24 kHz -> FACodecFile."""
+        w = self._prep(wave)
+        _, codes, timbre = self._enc(self.params, w)
+        codes_p, codes_c, codes_r = (np.asarray(c) for c in codes)
+        return FACodecFile(
+            codes_p=codes_p.astype(np.uint16),
+            codes_c=codes_c.astype(np.uint16),
+            codes_r=codes_r.astype(np.uint16),
+            timbre=np.asarray(timbre),
+            sample_rate=SR, hop_length=HOP, original_length=int(w.shape[-1]),
+        )
+
+    def decode(self, f: FACodecFile, use_residual: bool = True) -> np.ndarray:
+        """FACodecFile -> wave (B, T) float numpy."""
+        codes_r = jnp.asarray(f.codes_r.astype(np.int32)) if (
+            use_residual and f.codes_r is not None) else None
+        wave = self._dec_codes(
+            self.params,
+            jnp.asarray(f.codes_p.astype(np.int32)),
+            jnp.asarray(f.codes_c.astype(np.int32)),
+            codes_r,
+            jnp.asarray(f.timbre),
+        )
+        out = np.asarray(wave)
+        if f.original_length:
+            out = out[:, : f.original_length]
+        return out
+
+    def reconstruct(self, wave: np.ndarray) -> np.ndarray:
+        """Round-trip through the quantized latent (reconstruct.py:56-61)."""
+        w = self._prep(wave)
+        outs, _, _ = self._enc(self.params, w)
+        return np.asarray(self._dec_outs(self.params, outs))
+
+    def timbre_of(self, wave: np.ndarray) -> np.ndarray:
+        """Global timbre vector of an utterance."""
+        w = self._prep(wave)
+        _, _, timbre = self._enc(self.params, w)
+        return np.asarray(timbre)
+
+
+@dataclass
+class FARedecoder:
+    """The stage-2 voice-conversion model (redecoder + its decoder)."""
+
+    models: Dict[str, Any]
+    params: Dict[str, Any]
+
+    @classmethod
+    def from_config(
+        cls, config_path: str, ckpt_path: Optional[str] = None, rng_seed: int = 0
+    ) -> "FARedecoder":
+        cfg = load_config(config_path)
+        models = build_model(cfg.model_params, stage="redecoder")
+        models = {k: models[k] for k in ("encoder", "decoder")}
+        templates = init_params(models, jax.random.PRNGKey(rng_seed))
+        params = _load_params(ckpt_path, models, templates) if ckpt_path else templates
+        return cls(models=models, params=params)
+
+    def __post_init__(self):
+        red, dec = self.models["encoder"], self.models["decoder"]
+
+        def vc(params, p_code, c_code, timbre, use_p_code, n_c):
+            z = red.apply({"params": params["encoder"]}, p_code, c_code, timbre,
+                          use_p_code=use_p_code, n_c=n_c)
+            return dec.apply({"params": params["decoder"]}, z)[:, :, 0]
+
+        self._vc = jax.jit(vc, static_argnums=(4, 5))
+
+    def resynthesize(
+        self,
+        codes: FACodecFile,
+        target_timbre: np.ndarray,
+        use_p_code: bool = False,
+        n_c: int = 1,
+    ) -> np.ndarray:
+        """Voice conversion: source codes + target timbre -> wave
+        (reference reconstruct_redecoder.py:110-128)."""
+        wave = self._vc(
+            self.params,
+            jnp.asarray(codes.codes_p.astype(np.int32)),
+            jnp.asarray(codes.codes_c.astype(np.int32)),
+            jnp.asarray(np.asarray(target_timbre, np.float32)),
+            use_p_code, n_c,
+        )
+        out = np.asarray(wave)
+        if codes.original_length:
+            out = out[:, : codes.original_length]
+        return out
+
+
+def convert_voice(
+    codec: FACodec, redecoder: FARedecoder,
+    source_wave: np.ndarray, target_wave: np.ndarray,
+) -> np.ndarray:
+    """Zero-shot VC: source content/prosody + target timbre."""
+    codes = codec.encode(source_wave)
+    timbre = codec.timbre_of(target_wave)
+    return redecoder.resynthesize(codes, timbre, use_p_code=False, n_c=1)

@@ -1,0 +1,72 @@
+"""Serialized compressed-audio artifact (.fac): factorized code streams +
+the global timbre vector + metadata.
+
+Counterpart of the reference's DACFile (dac/model/base.py:15-54), extended
+for FAcodec's factorization: DACFile stores one (B, N, T) uint16 code array;
+a FACodecFile stores the prosody/content/residual streams separately (so a
+consumer can drop streams — e.g. residual-free VC) plus the continuous
+timbre vector that DAC doesn't have.
+
+Bitrate at the flagship config: 6 codebooks x 10 bit x 80 frames/s = 4.8
+kbps + one 1024-d timbre vector per utterance (BASELINE.md)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+MAGIC = "facodec-tpu"
+VERSION = 1
+
+
+@dataclass
+class FACodecFile:
+    codes_p: np.ndarray  # (B, n_p, T) uint16
+    codes_c: np.ndarray  # (B, n_c, T) uint16
+    codes_r: Optional[np.ndarray]  # (B, n_r, T) uint16 or None
+    timbre: np.ndarray  # (B, d) float32
+    sample_rate: int = 24000
+    hop_length: int = 300
+    original_length: int = 0  # samples, for exact truncation on decode
+    metadata: Dict = field(default_factory=dict)
+
+    def save(self, path: str) -> str:
+        if not path.endswith(".fac"):
+            path = path + ".fac"
+        arrays = dict(
+            codes_p=self.codes_p.astype(np.uint16),
+            codes_c=self.codes_c.astype(np.uint16),
+            timbre=self.timbre.astype(np.float32),
+        )
+        if self.codes_r is not None:
+            arrays["codes_r"] = self.codes_r.astype(np.uint16)
+        header = dict(
+            magic=MAGIC, version=VERSION, sample_rate=self.sample_rate,
+            hop_length=self.hop_length, original_length=self.original_length,
+            **self.metadata,
+        )
+        with open(path, "wb") as f:
+            np.savez(f, __header__=np.asarray([repr(header)]), **arrays)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "FACodecFile":
+        import ast
+
+        data = np.load(path, allow_pickle=False)
+        header = ast.literal_eval(str(data["__header__"][0]))
+        if header.pop("magic", None) != MAGIC:
+            raise ValueError(f"{path} is not a facodec-tpu code file")
+        header.pop("version", None)
+        return cls(
+            codes_p=data["codes_p"],
+            codes_c=data["codes_c"],
+            codes_r=data["codes_r"] if "codes_r" in data else None,
+            timbre=data["timbre"],
+            sample_rate=header.pop("sample_rate"),
+            hop_length=header.pop("hop_length"),
+            original_length=header.pop("original_length"),
+            metadata=header,
+        )

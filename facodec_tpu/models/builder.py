@@ -26,31 +26,47 @@ BANDS = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0))
 
 
 def build_model(args: Any, stage: str = "codec") -> Dict[str, Any]:
-    """args is the `model_params` AttrDict from the reference config.yml."""
+    """args is the `model_params` AttrDict from the reference config.yml.
+
+    Optional extension keys (absent from reference configs; defaults keep the
+    reference architecture exactly): latent_dim, style_hidden_dim,
+    prosody_hidden_dim, n_phone_classes, n_speakers, codebook_size — used by
+    scaled-down test configs."""
+    D = args.get("latent_dim", 1024)
+    cbs = args.get("codebook_size", 1024)
+    extra_q = dict(
+        style_hidden_dim=args.get("style_hidden_dim", 512),
+        prosody_hidden_dim=args.get("prosody_hidden_dim", 256),
+    )
+    extra_p = dict(
+        n_phone_classes=args.get("n_phone_classes", 1024),
+        n_speakers=args.get("n_speakers", 20000),
+    )
     if stage == "codec":
         encoder = Encoder(
             d_model=args.DAC.encoder_dim,
             strides=tuple(args.DAC.encoder_rates),
-            d_latent=1024,
+            d_latent=D,
             causal=args.causal,
             lstm=args.lstm,
         )
         quantizer = FAquantizer(
-            in_dim=1024,
+            in_dim=D,
             n_p_codebooks=1,
             n_c_codebooks=args.n_c_codebooks,
             n_t_codebooks=2,
             n_r_codebooks=3,
-            codebook_size=1024,
+            codebook_size=cbs,
             codebook_dim=8,
             quantizer_dropout=0.5,
             causal=args.causal,
             separate_prosody_encoder=args.separate_prosody_encoder,
             timbre_norm=args.timbre_norm,
             sample_rate=args.DAC.sr,
+            **extra_q,
         )
         fa_predictors = FApredictors(
-            in_dim=1024,
+            in_dim=D,
             use_gr_content_f0=args.use_gr_content_f0,
             use_gr_prosody_phone=args.use_gr_prosody_phone,
             use_gr_residual_f0=True,
@@ -61,9 +77,10 @@ def build_model(args: Any, stage: str = "codec") -> Dict[str, Any]:
             norm_f0=args.norm_f0,
             timbre_norm=args.timbre_norm,
             use_gr_content_global_f0=args.use_gr_content_global_f0,
+            **extra_p,
         )
         decoder = Decoder(
-            input_channel=1024,
+            input_channel=D,
             channels=args.DAC.decoder_dim,
             rates=tuple(args.DAC.decoder_rates),
             causal=args.causal,
@@ -87,15 +104,16 @@ def build_model(args: Any, stage: str = "codec") -> Dict[str, Any]:
         encoder = Redecoder(
             n_p_codebooks=args.n_p_codebooks,
             n_c_codebooks=args.n_c_codebooks,
-            codebook_size=1024,
+            codebook_size=cbs,
             embed_dim=args.wavenet_embed_dim,
             n_layers=16,
             causal=args.decoder_causal,
             p_dropout=0.2,
-            gin_channels=1024,
+            gin_channels=D,
+            out_dim=D,
         )
         decoder = Decoder(
-            input_channel=1024,
+            input_channel=D,
             channels=args.DAC.decoder_dim,
             rates=tuple(args.DAC.decoder_rates),
             causal=args.decoder_causal,
@@ -113,23 +131,24 @@ def build_model(args: Any, stage: str = "codec") -> Dict[str, Any]:
         encoder = Encoder(
             d_model=args.DAC.encoder_dim,
             strides=tuple(args.DAC.encoder_rates),
-            d_latent=1024,
+            d_latent=D,
             causal=args.encoder_causal,
             lstm=args.encoder_lstm,
         )
         quantizer = FAquantizer(
-            in_dim=1024,
+            in_dim=D,
             n_p_codebooks=1,
             n_c_codebooks=args.n_c_codebooks,
             n_t_codebooks=2,
             n_r_codebooks=3,
-            codebook_size=1024,
+            codebook_size=cbs,
             codebook_dim=8,
             quantizer_dropout=0.5,
             causal=args.encoder_causal,
             separate_prosody_encoder=args.separate_prosody_encoder,
             timbre_norm=args.timbre_norm,
             sample_rate=args.DAC.sr,
+            **extra_q,
         )
         return dict(encoder=encoder, quantizer=quantizer)
     raise ValueError(f"Unknown stage: {stage}")
@@ -159,7 +178,7 @@ def init_params(
         elif name == "encoder" and isinstance(mod, Redecoder):
             p_code = jnp.zeros((batch, mod.n_p_codebooks, seg_frames), jnp.int32)
             c_code = jnp.zeros((batch, mod.n_c_codebooks, seg_frames), jnp.int32)
-            timbre = jnp.zeros((batch, 1024), jnp.float32)
+            timbre = jnp.zeros((batch, mod.gin_channels), jnp.float32)
             params[name] = jinit(mod)(rngs, p_code, c_code, timbre)["params"]
         elif name == "quantizer":
             z = jnp.zeros((batch, seg_frames, mod.in_dim), jnp.float32)

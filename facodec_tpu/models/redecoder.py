@@ -28,6 +28,7 @@ class Redecoder(nn.Module):
     causal: bool = False
     p_dropout: float = 0.2
     gin_channels: int = 1024
+    out_dim: int = 1024  # latent dim consumed by the DAC decoder
 
     def setup(self):
         self.encoder = WN(
@@ -35,7 +36,7 @@ class Redecoder(nn.Module):
             n_layers=self.n_layers, gin_channels=self.gin_channels,
             p_dropout=self.p_dropout, causal=self.causal, name="encoder",
         )
-        self.conv_out = Conv1d(self.embed_dim, 1024, 1, name="conv_out")
+        self.conv_out = Conv1d(self.embed_dim, self.out_dim, 1, name="conv_out")
         self.prosody_embed = [
             Embedding(self.codebook_size, self.embed_dim, name=f"prosody_embed_{i}")
             for i in range(self.n_p_codebooks)
