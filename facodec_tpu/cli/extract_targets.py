@@ -1,0 +1,147 @@
+"""Offline teacher-target extraction — the TPU-native replacement for the
+reference's per-step torch teacher inference (train.py:91-101, 181-186,
+340-344; SURVEY.md §2.2/§7 'hard parts' #5).
+
+For every wav in a manifest, writes `<wav>.targets.npz` with:
+  f0        (frames,) raw F0 Hz from the JDC teacher (JAX reimplementation,
+            weights from the reference's modules/JDC/bst.t7)
+  phone_ids (frames,) frame phoneme ids from wav2vec2 CTC argmax (requires
+            the HF model `facebook/wav2vec2-xlsr-53-espeak-cv-ft`)
+  spk_label ()       speaker id from TitaNet (requires NeMo) or the manifest
+            sid column as fallback
+
+Each teacher degrades gracefully when its dependency/weights are absent
+(fills zeros and reports), so the pipeline runs in restricted environments.
+
+    python -m facodec_tpu.cli.extract_targets --manifest data/train.txt
+        [--root ./data] [--jdc-ckpt modules/JDC/bst.t7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _jdc_fn(jdc_ckpt: str):
+    if not jdc_ckpt or not os.path.exists(jdc_ckpt):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from facodec_tpu.models.jdc import JDCNet, load_jdc_checkpoint
+
+    params = {"params": load_jdc_checkpoint(jdc_ckpt)}
+    mod = JDCNet(num_class=1)
+    fn = jax.jit(mod.apply)
+
+    def run(mel: np.ndarray) -> np.ndarray:  # (frames, 80) -> (frames,)
+        f0, _ = fn(params, jnp.asarray(mel)[None])
+        return np.asarray(f0)[0]
+
+    return run
+
+
+def _w2v_fn():
+    try:
+        import torch
+        from transformers import Wav2Vec2ForCTC, Wav2Vec2Processor
+
+        name = "facebook/wav2vec2-xlsr-53-espeak-cv-ft"
+        processor = Wav2Vec2Processor.from_pretrained(name)
+        model = Wav2Vec2ForCTC.from_pretrained(name).eval()
+
+        def run(wave24k: np.ndarray, frames: int) -> np.ndarray:
+            # resample 24k -> 16k (linear; the reference uses torchaudio)
+            t16 = np.linspace(0, len(wave24k) / 24000, int(len(wave24k) * 2 / 3),
+                              endpoint=False)
+            t24 = np.arange(len(wave24k)) / 24000
+            w16 = np.interp(t16, t24, wave24k).astype(np.float32)
+            inputs = processor(w16, sampling_rate=16000, return_tensors="pt")
+            with torch.no_grad():
+                logits = model(inputs.input_values).logits
+            ids = logits.argmax(-1)[0].numpy()  # (w2v frames,)
+            # nearest-interpolate to mel frames (train.py:185-186)
+            idx = np.clip((np.arange(frames) * len(ids) / frames).astype(int),
+                          0, len(ids) - 1)
+            return ids[idx].astype(np.int32)
+
+        return run
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"[extract_targets] w2v teacher unavailable ({type(e).__name__}); "
+              "phone_ids will be zeros")
+        return None
+
+
+def _titanet_fn():
+    try:  # pragma: no cover - NeMo rarely available
+        import nemo.collections.asr as nemo_asr  # type: ignore
+
+        model = nemo_asr.models.EncDecSpeakerLabelModel.from_pretrained(
+            "nvidia/speakerverification_en_titanet_large"
+        ).eval()
+
+        def run(wave24k: np.ndarray) -> int:
+            import torch
+
+            t16 = np.linspace(0, len(wave24k) / 24000, int(len(wave24k) * 2 / 3),
+                              endpoint=False)
+            t24 = np.arange(len(wave24k)) / 24000
+            w16 = torch.from_numpy(np.interp(t16, t24, wave24k).astype(np.float32))
+            _, logits = model.infer_segment(w16)
+            return int(logits.argmax(-1))
+
+        return run
+    except Exception as e:
+        print(f"[extract_targets] TitaNet teacher unavailable ({type(e).__name__}); "
+              "spk_label falls back to the manifest sid")
+        return None
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--manifest", type=str, required=True)
+    p.add_argument("--root", type=str, default="")
+    p.add_argument("--jdc-ckpt", type=str,
+                   default=os.environ.get("FACODEC_JDC_CKPT", ""))
+    p.add_argument("--overwrite", action="store_true")
+    args = p.parse_args(argv)
+
+    from facodec_tpu.train.data import compute_mel, load_wav
+
+    jdc = _jdc_fn(args.jdc_ckpt)
+    if jdc is None:
+        print("[extract_targets] JDC weights not found; f0 will be zeros")
+    w2v = _w2v_fn()
+    titanet = _titanet_fn()
+
+    n = 0
+    with open(args.manifest) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if not parts or not parts[0]:
+                continue
+            path = os.path.join(args.root, parts[0]) if args.root else parts[0]
+            out = path + ".targets.npz"
+            if os.path.exists(out) and not args.overwrite:
+                continue
+            wave = load_wav(path)
+            frames = len(wave) // 300
+            wave = wave[: frames * 300]
+            mel = compute_mel(wave)
+            f0 = jdc(mel) if jdc else np.zeros(frames, np.float32)
+            phones = w2v(wave, frames) if w2v else np.zeros(frames, np.int32)
+            sid = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 0
+            spk = titanet(wave) if titanet else sid % 20000
+            np.savez(out, f0=f0.astype(np.float32),
+                     phone_ids=phones.astype(np.int32),
+                     spk_label=np.int32(spk))
+            n += 1
+    print(f"[extract_targets] wrote {n} target files")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -155,3 +155,59 @@ def test_redecoder_train_step_runs():
         after = jax.tree.leaves(state2.params[key])
         assert any(not np.allclose(np.asarray(a), np.asarray(b))
                    for a, b in zip(after, before)), key
+
+
+def test_evaluate_cli(tmp_path):
+    from scipy.io import wavfile
+
+    from facodec_tpu.cli.evaluate import main as eval_main
+
+    wav = str(tmp_path / "a.wav")
+    wavfile.write(wav, SR, (tone(0.4) * 32767).astype(np.int16))
+    manifest = str(tmp_path / "val.txt")
+    with open(manifest, "w") as f:
+        f.write(f"{wav}\t0\ten\ttext\tphones\n")
+    out_json = str(tmp_path / "eval.json")
+    rc = eval_main(["--manifest", manifest, "--config-path", TINY,
+                    "--json", out_json])
+    assert rc == 0
+    import json
+
+    data = json.load(open(out_json))
+    assert np.isfinite(data["aggregate"]["mel_l1"])
+    assert 0 < data["utterances"][0]["code_usage"]["content"] <= 1
+
+
+def test_extract_targets_graceful(tmp_path):
+    """No teachers available: writes zero targets + manifest sid fallback."""
+    from scipy.io import wavfile
+
+    from facodec_tpu.cli.extract_targets import main as et_main
+
+    wav = str(tmp_path / "b.wav")
+    wavfile.write(wav, SR, (tone(0.4) * 32767).astype(np.int16))
+    manifest = str(tmp_path / "train.txt")
+    with open(manifest, "w") as f:
+        f.write(f"{wav}\t7\ten\ttext\tphones\n")
+    rc = et_main(["--manifest", manifest])
+    assert rc == 0
+    tgt = np.load(wav + ".targets.npz")
+    frames = len(tone(0.4)) // HOP
+    assert tgt["f0"].shape == (frames,)
+    assert int(tgt["spk_label"]) == 7
+
+    # the dataset picks the targets up
+    from facodec_tpu.train.data import FileListDataset
+
+    ds = FileListDataset(manifest)
+    item = ds[0]
+    assert int(item["spk_label"]) == 7
+
+
+def test_webui_gated():
+    import pytest as _pytest
+
+    from facodec_tpu.webui import build_interface
+
+    with _pytest.raises(RuntimeError, match="gradio"):
+        build_interface(codec=None)
