@@ -42,6 +42,11 @@ def _install_audiotools():
         def signal_length(self):
             return self.audio_data.shape[-1]
 
+        def resample(self, new_rate):
+            if new_rate != self.sample_rate:  # pragma: no cover
+                raise NotImplementedError("stub resample: same-rate only")
+            return self
+
         def stft(self, window_length=None, hop_length=None, window_type=None,
                  match_stride=None):
             p = self.stft_params or STFTParams()
