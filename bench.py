@@ -6,7 +6,13 @@ Prints ONE JSON line:
    "vs_baseline": N}
 
 vs_baseline is relative to the driver target of 200x real time per chip
-(BASELINE.md; the reference publishes no numbers of its own)."""
+(BASELINE.md; the reference publishes no numbers of its own).
+
+Timing methodology: the jitted round trip ends in a scalar reduction whose
+host materialization (float()) gates the measurement — on the tunneled
+'axon' TPU platform `block_until_ready` returns before execution finishes,
+so naive async-loop timing reads absurdly high (~90000x); forcing a scalar
+transfer measures true device completion."""
 
 from __future__ import annotations
 
@@ -36,7 +42,7 @@ def main():
     batch, seconds = 4, 10.0
     frames = int(seconds * SR) // HOP
     T = frames * HOP
-    params = init_params(models, jax.random.PRNGKey(0), seg_frames=8, batch=1)
+    params = init_params(models, jax.random.PRNGKey(0), seg_frames=8)
 
     @jax.jit
     def roundtrip(params, wave):
@@ -46,23 +52,23 @@ def main():
             {"params": params["quantizer"]}, z, wave, n_c=2
         )
         recon = models["decoder"].apply({"params": params["decoder"]}, outs)
-        return recon
+        # scalar reduction: its host materialization proves the whole
+        # round trip executed (block_until_ready is unreliable here)
+        return jnp.sum(jnp.abs(recon))
 
     key = jax.random.PRNGKey(1)
     wave = 0.1 * jax.random.normal(key, (batch, T), jnp.float32)
 
-    # warmup / compile
-    jax.block_until_ready(roundtrip(params, wave))
+    float(roundtrip(params, wave))  # warmup / compile
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = roundtrip(params, wave)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(roundtrip(params, wave))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
-    audio_seconds = batch * seconds * iters
-    rtf = audio_seconds / dt
+    rtf = batch * seconds / dt
     print(json.dumps({
         "metric": "encode_decode_rtf",
         "value": round(rtf, 2),

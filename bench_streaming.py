@@ -1,0 +1,71 @@
+"""Streaming benchmark: per-chunk latency of the exact stateful streaming
+session (encode + decode) on one chip, flagship configuration.
+
+Prints one JSON line:
+  {"metric": "streaming_chunk_p50_ms", "value": N, "unit": "ms",
+   "chunk_ms": M, "rtf": R}
+
+This is the BASELINE.md 'streaming chunk p50 latency' metric. Completion is
+forced by materializing one output sample per chunk (block_until_ready is
+unreliable on the tunneled platform)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import FLAGSHIP
+
+SR, HOP = 24000, 300
+
+
+def main(chunk_frames: int = 16, seconds: float = 8.0, batch: int = 1):
+    from facodec_tpu.models.builder import init_params
+    from facodec_tpu.models.dac import Decoder, Encoder
+    from facodec_tpu.models.fa_quantizer import FAquantizer
+    from facodec_tpu.models.streaming import StreamingFACodec
+
+    enc = Encoder(**FLAGSHIP["encoder"])
+    qt = FAquantizer(**FLAGSHIP["quantizer"])
+    dec = Decoder(**FLAGSHIP["decoder"])
+    models = dict(encoder=enc, quantizer=qt, decoder=dec)
+    params = init_params(models, jax.random.PRNGKey(0), seg_frames=chunk_frames)
+
+    sess = StreamingFACodec(enc, qt, dec, params, chunk_frames=chunk_frames, n_c=2)
+    est = sess.init_encode_state(batch)
+    dst = sess.init_decode_state(batch)
+    timbre = jnp.zeros((batch, 1024), jnp.float32)
+
+    n_chunks = int(seconds * SR) // (chunk_frames * HOP)
+    key = jax.random.PRNGKey(1)
+    lat = []
+    for i in range(n_chunks):
+        key, sub = jax.random.split(key)
+        chunk = 0.1 * jax.random.normal(sub, (batch, chunk_frames * HOP), jnp.float32)
+        float(jnp.sum(chunk))  # make input ready before timing
+        t0 = time.perf_counter()
+        est, outs, codes = sess.encode_chunk(est, chunk, timbre)
+        dst, wave = sess.decode_chunk(dst, outs)
+        float(wave[0, -1])  # force completion
+        lat.append(time.perf_counter() - t0)
+
+    warm = lat[2:]
+    p50 = float(np.percentile(warm, 50)) * 1e3
+    p99 = float(np.percentile(warm, 99)) * 1e3
+    chunk_ms = chunk_frames * HOP / SR * 1e3
+    print(json.dumps({
+        "metric": "streaming_chunk_p50_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "chunk_ms": round(chunk_ms, 1),
+        "p99_ms": round(p99, 2),
+        "rtf": round(chunk_ms / p50, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,3 +139,30 @@ def load_torch_checkpoint_file(
 
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     return convert_model_dict(ckpt, templates)
+
+
+def export_state_dict(
+    params: Mapping[str, Any], torch_keys: "list[str]"
+) -> Dict[str, np.ndarray]:
+    """Inverse conversion: flax params -> flat torch state_dict (numpy
+    values), given the torch model's key list (e.g. from the original
+    pytorch_model.bin). `torch_key_to_path` defines the bijection, so every
+    architectural key maps back exactly; dropped buffer keys (filters,
+    to_mel) are skipped — torch recomputes them at module init."""
+    flat = _flatten(params)
+    out: Dict[str, np.ndarray] = {}
+    missing = []
+    for key in torch_keys:
+        path = torch_key_to_path(key)
+        if path is None:
+            continue
+        if path in flat:
+            out[key] = np.asarray(flat[path])
+        else:
+            missing.append(key)
+    if missing:
+        raise ValueError(
+            f"export: {len(missing)} torch keys have no flax param: "
+            + ", ".join(missing[:8])
+        )
+    return out

@@ -341,3 +341,18 @@ def test_discriminator_parity():
             elif g.ndim == 3:
                 g = np.transpose(g, (0, 2, 1))
             np.testing.assert_allclose(g, wnp, rtol=1e-3, atol=1e-3)
+
+
+def test_export_roundtrip():
+    """flax -> torch export is the exact inverse of conversion: a converted
+    state_dict exported back reproduces the torch weights bit-for-bit."""
+    from dac.model.dac import Encoder as TEncoder
+    from facodec_tpu.utils.checkpoint import export_state_dict
+
+    ref = TEncoder(d_model=16, strides=[2, 4], d_latent=32, causal=True, lstm=1)
+    sd = ref.state_dict()
+    params = convert_state_dict(sd)
+    back = export_state_dict(params, list(sd.keys()))
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k].numpy())
