@@ -103,13 +103,22 @@ def run_training(
 
     batch_size = cfg.get("batch_size", 4)
     # the data axis must divide the global batch; use the largest compatible
-    # device count (DDP's world_size constraint, meldataset.py:112-118)
+    # device count (DDP's world_size constraint, meldataset.py:112-118).
+    # `tensor_parallel: N` in the config additionally shards the wide heads
+    # over a model axis (parallel/sharding.py) — a capability beyond the
+    # reference's DDP-only strategy.
     import math as _math
 
-    n_data = _math.gcd(batch_size, jax.device_count())
-    mesh = make_mesh(n_data=n_data)
-    state = TrainState(replicate(mesh, state.params), replicate(mesh, state.opt_states),
-                       state.step)
+    n_model = int(cfg.get("tensor_parallel", 1))
+    n_data = _math.gcd(batch_size, jax.device_count() // n_model)
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    if n_model > 1:
+        from facodec_tpu.parallel.sharding import apply_shardings, tp_param_shardings
+
+        p_shard = apply_shardings(state.params, tp_param_shardings(state.params, mesh))
+    else:
+        p_shard = replicate(mesh, state.params)
+    state = TrainState(p_shard, replicate(mesh, state.opt_states), state.step)
     step_fn = jax.jit(make_codec_train_step(models, optimizers))
 
     if dataset is None:
