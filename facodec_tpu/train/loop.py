@@ -134,6 +134,9 @@ def run_training(
     max_frames = cfg.get("max_len", 80)
     log_interval = cfg.get("log_interval", 10)
     save_interval = cfg.get("save_interval", 1000)
+    # factorization audit cadence (reference train.py:428: 1000*log_interval)
+    probe_interval = cfg.get("probe_interval", 1000 * log_interval)
+    probe_fn = None
     rng = np.random.default_rng(cfg.get("seed", 0))
     key = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
 
@@ -161,6 +164,13 @@ def run_training(
                     for k, v in metrics.items():
                         log_writer.add_scalar(f"train/{k}", float(v), step)
                     log_writer.add_scalar("train/time", time.time() - t0, step)
+                if log_writer is not None and step % probe_interval == 0:
+                    from facodec_tpu.train.probes import log_probe_audio, make_probe_fn
+
+                    if probe_fn is None:
+                        probe_fn = make_probe_fn(models)
+                    audio = probe_fn(state.params, seg)
+                    log_probe_audio(log_writer, audio, step)
                 if step % save_interval == 0:
                     save_checkpoint(log_dir, state, epoch)
                 if max_steps is not None and step >= max_steps:

@@ -134,3 +134,25 @@ def test_normalize_f0_matches_reference_semantics():
 
     got = np.asarray(normalize_f0(jnp.asarray(f0, jnp.float32)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_factorization_probe(setup):
+    """The probe decodes every stream subset + timbre swap (train.py:428-466)."""
+    from facodec_tpu.train.probes import make_probe_fn
+
+    models, params, optimizers, opt_states, step_fn = setup
+    probe = make_probe_fn(models)
+    batch = make_batch(np.random.default_rng(5))
+    audio = probe(params, batch)
+    assert set(audio) == {
+        "probe/prosody", "probe/content", "probe/residual",
+        "probe/prosody+content", "probe/prosody+residual", "probe/full",
+        "probe/timbre_swap", "probe/ground_truth",
+    }
+    tw = FRAMES * HOP
+    for name, w in audio.items():
+        assert w.shape == (B, tw), name
+        assert np.isfinite(np.asarray(w)).all(), name
+    # subsets genuinely differ
+    assert not np.allclose(np.asarray(audio["probe/prosody"]),
+                           np.asarray(audio["probe/full"]))
