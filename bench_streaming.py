@@ -5,9 +5,12 @@ Prints one JSON line:
   {"metric": "streaming_chunk_p50_ms", "value": N, "unit": "ms",
    "chunk_ms": M, "rtf": R}
 
-This is the BASELINE.md 'streaming chunk p50 latency' metric. Completion is
-forced by materializing one output sample per chunk (block_until_ready is
-unreliable on the tunneled platform)."""
+This is the BASELINE.md 'streaming chunk p50 latency' metric. Two numbers:
+  * interactive p50 — one host-driven chunk step (includes the ~32 ms tunnel
+    RTT of this environment; on directly-attached TPUs that term vanishes);
+  * device-only per-chunk time — the whole stream as one lax.scan
+    (run_scan), total time / chunks, which amortizes the tunnel away and is
+    the true on-device latency bound."""
 
 from __future__ import annotations
 
@@ -57,13 +60,31 @@ def main(chunk_frames: int = 16, seconds: float = 8.0, batch: int = 1):
     p50 = float(np.percentile(warm, 50)) * 1e3
     p99 = float(np.percentile(warm, 99)) * 1e3
     chunk_ms = chunk_frames * HOP / SR * 1e3
+
+    # device-only: whole stream as one scan, per-chunk = total / chunks
+    scan_fn = jax.jit(sess.run_scan)
+    T = n_chunks * chunk_frames * HOP
+    wave = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (batch, T), jnp.float32)
+    timbre0 = jnp.zeros((batch, 1024), jnp.float32)
+    recon, _ = scan_fn(wave, timbre0)
+    float(jnp.sum(jnp.abs(recon)))  # warmup forced
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        recon, _ = scan_fn(wave, timbre0)
+        float(jnp.sum(jnp.abs(recon)))
+        ts.append(time.perf_counter() - t0)
+    dev_ms = min(ts) / n_chunks * 1e3
+
     print(json.dumps({
         "metric": "streaming_chunk_p50_ms",
         "value": round(p50, 2),
         "unit": "ms",
         "chunk_ms": round(chunk_ms, 1),
         "p99_ms": round(p99, 2),
-        "rtf": round(chunk_ms / p50, 2),
+        "device_only_ms": round(dev_ms, 2),
+        "rtf_interactive": round(chunk_ms / p50, 2),
+        "rtf_device": round(chunk_ms / dev_ms, 2),
     }))
 
 

@@ -137,8 +137,9 @@ class StreamingFACodec:
         self._flush = jax.jit(flush_step)
         self._decode_first = jax.jit(lambda p, o, s: decode_step(p, o, s, True))
         self._decode = jax.jit(lambda p, o, s: decode_step(p, o, s, False))
-        # flush emits 1 frame; its decode specializes to T=1
-        self._decode_tailfirst = self._decode
+        # unjitted steady-state closures for lax.scan composition (run_scan)
+        self._encode_steady_raw = lambda p, w, t, s: encode_step(p, w, t, s, False)
+        self._decode_steady_raw = lambda p, o, s: decode_step(p, o, s, False)
 
     # ------------------------------------------------------------- encode
     def init_encode_state(self, batch: int) -> Tuple:
@@ -170,6 +171,49 @@ class StreamingFACodec:
         fn = self._decode_first if first else self._decode
         wave, core = fn(self.params, outs, core)
         return (core, False), wave
+
+    # ---------------------------------------------------------- scan mode
+    def run_scan(self, wave: jnp.ndarray, timbre: jnp.ndarray):
+        """Process a whole (B, n_chunks*chunk_frames*300) wave through the
+        chunked encode+decode pipeline as ONE `lax.scan` — a single device
+        launch for the entire stream (no per-chunk host round trips), with
+        identical per-chunk semantics to the interactive session.
+
+        Returns (recon_wave (B, T - 300), codes) — the first chunk emits
+        C-1 frames and no flush is applied, so output trails input by one
+        frame; use flush_encode for the tail when exactness to the one-shot
+        forward is needed."""
+        B, T = wave.shape
+        C = self.chunk_frames
+        step = C * HOP
+        assert T % step == 0, "wave length must be a chunk multiple"
+        n_chunks = T // step
+        chunks = wave.reshape(B, n_chunks, step).transpose(1, 0, 2)
+
+        est = tuple(self.init_encode_state(B))[:-1]
+        dst = self.init_decode_state(B)[0]
+
+        # chunk 0 (first=True static branch) outside the scan
+        outs0, codes0, est = self._encode_first(self.params, chunks[0], timbre, est)
+        wave0, dst = self._decode_first(self.params, outs0, dst)
+
+        p = self.params
+
+        def body(carry, chunk):
+            est, dst = carry
+            outs, codes, est = self._encode_steady_raw(p, chunk, timbre, est)
+            w, dst = self._decode_steady_raw(p, outs, dst)
+            return (est, dst), (w, codes)
+
+        if n_chunks > 1:
+            (_, _), (waves, codes) = jax.lax.scan(body, (est, dst), chunks[1:])
+            # (n-1, B, step) -> (B, (n-1)*step)
+            rest = waves.transpose(1, 0, 2).reshape(B, -1)
+            recon = jnp.concatenate([wave0, rest], axis=1)
+        else:
+            recon = wave0
+            codes = None
+        return recon, (codes0, codes)
 
 
 def _quantizer_wn(quantizer) -> Any:

@@ -184,3 +184,43 @@ def test_full_codec_streaming_exact():
     np.testing.assert_allclose(
         np.asarray(wave_stream), np.asarray(wave_full[:, :, 0]), rtol=2e-4, atol=2e-4
     )
+
+
+def test_run_scan_matches_chunk_loop():
+    """lax.scan whole-stream mode == the interactive chunk loop."""
+    from facodec_tpu.models.builder import init_params
+    from facodec_tpu.models.fa_quantizer import FAquantizer
+    from facodec_tpu.models.streaming import StreamingFACodec
+
+    enc = Encoder(d_model=4, strides=(2, 5, 5, 6), d_latent=64, causal=True, lstm=1)
+    qt = FAquantizer(in_dim=64, n_p_codebooks=1, n_c_codebooks=2, n_t_codebooks=2,
+                     n_r_codebooks=3, codebook_size=32, codebook_dim=4,
+                     quantizer_dropout=0.5, causal=True,
+                     separate_prosody_encoder=True, timbre_norm=True,
+                     style_hidden_dim=32, prosody_hidden_dim=16)
+    dec = Decoder(input_channel=64, channels=32, rates=(6, 5, 5, 2), causal=True, lstm=1)
+    params = init_params(dict(encoder=enc, quantizer=qt, decoder=dec),
+                         jax.random.PRNGKey(0), seg_frames=12)
+
+    HOP, chunk, n_chunks = 300, 12, 3
+    wave = jnp.asarray(
+        np.random.default_rng(9).standard_normal((1, n_chunks * chunk * HOP)) * 0.2,
+        jnp.float32,
+    )
+    timbre = jnp.zeros((1, 64))
+    sess = StreamingFACodec(enc, qt, dec, params, chunk_frames=chunk, n_c=1)
+
+    # interactive loop
+    est, dst = sess.init_encode_state(1), sess.init_decode_state(1)
+    waves = []
+    for i in range(0, wave.shape[1], chunk * HOP):
+        est, outs, _ = sess.encode_chunk(est, wave[:, i : i + chunk * HOP], timbre)
+        dst, w = sess.decode_chunk(dst, outs)
+        waves.append(w)
+    loop_wave = jnp.concatenate(waves, axis=1)
+
+    # scan mode
+    scan_wave, _ = jax.jit(sess.run_scan)(wave, timbre)
+    assert scan_wave.shape == loop_wave.shape
+    np.testing.assert_allclose(np.asarray(scan_wave), np.asarray(loop_wave),
+                               rtol=1e-5, atol=1e-5)
