@@ -356,3 +356,40 @@ def test_export_roundtrip():
     assert set(back) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(back[k], sd[k].numpy())
+
+
+def test_faquantizer_forward_v2_full_waves_parity():
+    """The training-time timbre path: full padded waves + sequence-mask
+    pooling (reference quantize.py:378-382)."""
+    from modules.quantize import FAquantizer as TFA
+    from facodec_tpu.models.fa_quantizer import FAquantizer
+
+    torch.manual_seed(8)
+    # in_dim must be 1024: the reference hard-codes timbre_linear at 1024
+    kw = dict(in_dim=1024, n_p_codebooks=1, n_c_codebooks=2, n_t_codebooks=2,
+              n_r_codebooks=3, codebook_size=32, codebook_dim=4,
+              quantizer_dropout=0.5, causal=True,
+              separate_prosody_encoder=False, timbre_norm=True)
+    ref = TFA(**kw).eval()
+    mod = FAquantizer(**kw)
+
+    B, frames = 2, 2
+    x = torch.randn(B, 1024, frames)
+    wave = 0.4 * torch.randn(B, 1, frames * 300)
+    full = torch.zeros(B, 3000)
+    full[0] = 0.4 * torch.randn(3000)
+    full[1, :1800] = 0.4 * torch.randn(1800)  # shorter utterance, zero-padded
+    lens = torch.tensor([3000, 1800])
+    with torch.no_grad():
+        outs, q, commit, cb, timbre = ref(x, wave, n_c=2,
+                                          full_waves=full.unsqueeze(1),
+                                          wave_lens=lens)
+
+    got = mod.apply(
+        convert(ref), t2j(x).transpose(0, 2, 1), t2j(wave[:, 0]),
+        n_c=2, full_waves=t2j(full), wave_lens=jnp.asarray(lens.numpy()),
+    )
+    got_outs, got_q, got_commit, got_cb, got_timbre = got
+    np.testing.assert_allclose(np.asarray(got_timbre), timbre.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(nct(got_outs), outs.numpy(), rtol=5e-3, atol=5e-3)
