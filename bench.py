@@ -32,7 +32,7 @@ HOP = 300
 ITERS = 10
 
 
-def main(batch: int = 8, seconds: float = 10.0):
+def main(batch: int = 16, seconds: float = 10.0):
     from facodec_tpu.models.builder import init_params
     from facodec_tpu.models.dac import Decoder, Encoder
     from facodec_tpu.models.fa_quantizer import FAquantizer
