@@ -264,3 +264,19 @@ def test_gradient_reversal():
     np.testing.assert_allclose(np.asarray(g), -2.0 * np.ones(3))
     y = gradient_reversal(jnp.arange(3.0), 2.0)
     np.testing.assert_allclose(np.asarray(y), np.arange(3.0))
+
+
+def test_debug_checked_catches_nan():
+    import pytest as _pytest
+    import jax.numpy as jnp
+
+    from facodec_tpu.utils.debug import assert_finite, checked
+
+    f = checked(lambda x: jnp.log(x))
+    f(jnp.ones(4))  # fine
+    with _pytest.raises(Exception):
+        f(-jnp.ones(4))  # log of negative -> NaN -> raised
+
+    assert_finite({"a": jnp.ones(3)})
+    with _pytest.raises(FloatingPointError):
+        assert_finite({"a": jnp.asarray([1.0, float("nan")])})
