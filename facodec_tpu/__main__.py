@@ -21,6 +21,9 @@ import sys
 
 
 def main(argv=None):
+    from facodec_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(prog="facodec_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

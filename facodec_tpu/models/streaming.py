@@ -179,6 +179,11 @@ class StreamingFACodec:
         launch for the entire stream (no per-chunk host round trips), with
         identical per-chunk semantics to the interactive session.
 
+        Note: at flagship size the fused program is large; remote-compile
+        tunnels with request-size limits may reject it (HTTP 413) — use the
+        interactive chunk API there (its steps chain by state, so executions
+        pipeline on-device without host sync anyway).
+
         Returns (recon_wave (B, T - 300), codes) — the first chunk emits
         C-1 frames and no flush is applied, so output trails input by one
         frame; use flush_encode for the tail when exactness to the one-shot
