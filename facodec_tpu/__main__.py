@@ -30,11 +30,13 @@ def main(argv=None):
     from facodec_tpu.cli import codec as codec_cli
     from facodec_tpu.cli import convert as convert_cli
     from facodec_tpu.cli import reconstruct as reconstruct_cli
+    from facodec_tpu.cli import stream as stream_cli
 
     reconstruct_cli.add_args(sub.add_parser("reconstruct"))
     convert_cli.add_args(sub.add_parser("convert"))
     codec_cli.add_encode_args(sub.add_parser("encode"))
     codec_cli.add_decode_args(sub.add_parser("decode"))
+    stream_cli.add_args(sub.add_parser("stream"))
 
     p_train = sub.add_parser("train")
     p_train.add_argument("--config-path", type=str, required=True)
@@ -55,6 +57,8 @@ def main(argv=None):
         return codec_cli.main_encode(args)
     if args.command == "decode":
         return codec_cli.main_decode(args)
+    if args.command == "stream":
+        return stream_cli.main(args)
     if args.command == "train":
         from facodec_tpu.train.loop import run_training
 

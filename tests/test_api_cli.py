@@ -211,3 +211,34 @@ def test_webui_gated():
 
     with _pytest.raises(RuntimeError, match="gradio"):
         build_interface(codec=None)
+
+
+def test_cli_stream(tmp_path):
+    """The streaming CLI: exact chunked reconstruction of a wav."""
+    from scipy.io import wavfile
+
+    from facodec_tpu.__main__ import main
+
+    src = str(tmp_path / "s.wav")
+    wavfile.write(src, SR, (tone(16 * 3 * HOP / SR + 0.01) * 32767).astype(np.int16))
+    out = main(["stream", "--source", src, "--config-path", TINY,
+                "--chunk-frames", "16",
+                "--output", str(tmp_path / "stream_out.wav")])
+    assert os.path.exists(out)
+    sr, data = wavfile.read(out)
+    n = (int((16 * 3 * HOP / SR + 0.01) * SR) // (16 * HOP)) * 16 * HOP
+    assert sr == SR and len(data) == n  # chunks + flush frame == input frames
+
+
+def test_cli_convert(tmp_path):
+    from scipy.io import wavfile
+
+    from facodec_tpu.__main__ import main
+
+    src, tgt = str(tmp_path / "src.wav"), str(tmp_path / "tgt.wav")
+    wavfile.write(src, SR, (tone(0.4, 220.0, 3) * 32767).astype(np.int16))
+    wavfile.write(tgt, SR, (tone(0.4, 330.0, 4) * 32767).astype(np.int16))
+    out = main(["convert", "--source", src, "--target", tgt,
+                "--codec-config", TINY, "--redecoder-config", TINY,
+                "--output", str(tmp_path / "vc.wav")])
+    assert os.path.exists(out)
