@@ -119,7 +119,9 @@ def run_training(
     else:
         p_shard = replicate(mesh, state.params)
     state = TrainState(p_shard, replicate(mesh, state.opt_states), state.step)
-    step_fn = jax.jit(make_codec_train_step(models, optimizers))
+    step_fn = jax.jit(
+        make_codec_train_step(models, optimizers, remat=bool(cfg.get("remat", False)))
+    )
 
     if dataset is None:
         dataset = PseudoDataset(length=cfg.get("pseudo_dataset_len", 100))

@@ -63,9 +63,18 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_codec_train_step(models: Mapping[str, Any], optimizers: Mapping[str, Any]):
+def make_codec_train_step(
+    models: Mapping[str, Any],
+    optimizers: Mapping[str, Any],
+    remat: bool = False,
+):
     """Returns `train_step(state, batch, rng) -> (state, metrics)` ready for
     jax.jit / pjit.
+
+    remat=True wraps the generator forward in `jax.checkpoint`: activations
+    are recomputed in the backward pass instead of stored — HBM for FLOPs,
+    enabling longer segments / larger per-chip batches (the reference has no
+    equivalent; torch would use checkpoint_sequential).
 
     batch dict (all fixed-shape, segment cropping happens in the pipeline):
       wave_seg   (B, Tw)   24 kHz segment, Tw = frames * 300
@@ -100,6 +109,11 @@ def make_codec_train_step(models: Mapping[str, Any], optimizers: Mapping[str, An
         )
         pred_wave = decoder.apply({"params": gen_params["decoder"]}, outs)
         return pred_wave, commit, cb, preds, rev_preds
+
+    if remat:
+        gen_forward = jax.checkpoint(
+            gen_forward, static_argnums=(), policy=None
+        )
 
     def disc_loss_fn(disc_params, pred_wave, real_wave):
         d_fake = discriminator.apply({"params": disc_params}, pred_wave)

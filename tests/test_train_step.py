@@ -180,3 +180,20 @@ def test_overfit_single_batch(setup):
         last = mel
     assert np.isfinite(last)
     assert last < 0.7 * first, f"mel loss did not drop: {first:.3f} -> {last:.3f}"
+
+
+@pytest.mark.slow
+def test_remat_step_matches(setup):
+    """jax.checkpoint'd generator forward produces the same update."""
+    models, params, optimizers, opt_states, step_fn = setup
+    remat_fn = jax.jit(make_codec_train_step(models, optimizers, remat=True))
+    batch = make_batch(np.random.default_rng(11))
+    rng = jax.random.PRNGKey(9)
+    s0 = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
+    s_a, m_a = step_fn(s0, batch, rng)
+    s_b, m_b = remat_fn(s0, batch, rng)
+    for k in m_a:
+        np.testing.assert_allclose(float(m_b[k]), float(m_a[k]), rtol=2e-4, atol=1e-5)
+    a = np.asarray(jax.tree.leaves(s_a.params["encoder"])[0])
+    b = np.asarray(jax.tree.leaves(s_b.params["encoder"])[0])
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
