@@ -1,0 +1,85 @@
+"""Training-step benchmark: full flagship GAN step (both phases, all five
+modules, teachers offline) on one chip.
+
+Prints one JSON line:
+  {"metric": "train_step_ms", "value": N, "unit": "ms", "batch": B,
+   "seg_frames": F, "audio_s_per_s": R}
+
+audio_s_per_s = seconds of training audio consumed per wall-clock second —
+the single-chip training throughput figure. Timing uses the chained-scan
+methodology (see bench.py)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+SR, HOP = 24000, 300
+ITERS = 4
+
+
+def main(batch: int = 4, seg_frames: int = 80):
+    from facodec_tpu.models.builder import build_model, init_params
+    from facodec_tpu.train.optimizers import build_optimizers, init_opt_states
+    from facodec_tpu.train.step import TrainState, make_codec_train_step
+    from facodec_tpu.utils.config import load_config
+
+    cfg = load_config("/root/reference/configs/config.yml")
+    models = build_model(cfg.model_params, "codec")
+    params = init_params(models, jax.random.PRNGKey(0), seg_frames=8)
+    optimizers = build_optimizers(models.keys(), base_lr=1e-4)
+    opt_states = init_opt_states(optimizers, params)
+    step_fn = make_codec_train_step(models, optimizers)
+
+    tw = seg_frames * HOP
+    rng = np.random.default_rng(0)
+    batch_data = dict(
+        wave_seg=jnp.asarray(rng.standard_normal((batch, tw)) * 0.1, jnp.float32),
+        mel_seg=jnp.asarray(rng.standard_normal((batch, seg_frames, 80)) * 0.5,
+                            jnp.float32),
+        f0=jnp.asarray(np.abs(rng.standard_normal((batch, seg_frames))) * 200,
+                       jnp.float32),
+        phone_ids=jnp.asarray(rng.integers(0, 1024, (batch, seg_frames)), jnp.int32),
+        spk_labels=jnp.asarray(rng.integers(0, 20000, (batch,)), jnp.int32),
+        full_waves=jnp.asarray(rng.standard_normal((batch, 2 * tw)) * 0.1, jnp.float32),
+        wave_lens=jnp.asarray([2 * tw] * batch, jnp.int32),
+    )
+    state = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
+    jit_step = jax.jit(step_fn)
+
+    # steps chain through the optimizer state, so dispatching ITERS steps and
+    # forcing only the final metrics measures all of them + one tunnel RTT
+    # (a lax.scan fusion would exceed the remote-compile size limit here)
+    st, metrics = jit_step(state, batch_data, jax.random.PRNGKey(1))
+    float(metrics["loss/gen_all"])  # warmup / compile
+
+    key = jax.random.PRNGKey(2)
+    ts = []
+    for _ in range(3):
+        st = state
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            key, sub = jax.random.split(key)
+            st, metrics = jit_step(st, batch_data, sub)
+        float(metrics["loss/gen_all"])
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / ITERS
+
+    audio_per_step = batch * seg_frames * HOP / SR
+    print(json.dumps({
+        "metric": "train_step_ms",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms",
+        "batch": batch,
+        "seg_frames": seg_frames,
+        "audio_s_per_s": round(audio_per_step / dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,8 +74,14 @@ def compute_mel(wave: np.ndarray, cfg: MelConfig = MelConfig()) -> np.ndarray:
 
 
 def load_wav(path: str, sr: int = SR) -> np.ndarray:
-    """Load a mono wav at the target rate (scipy backend; no resampling —
-    files must already be at `sr`, as in the reference's preprocessed data)."""
+    """Load a mono wav at the target rate. Prefers the native C++ decoder
+    (facodec_tpu/native: GIL-free parallel decode + in-decoder resample);
+    falls back to scipy + numpy linear resampling."""
+    from facodec_tpu.native import load_wav_native
+
+    native = load_wav_native(path, sr)
+    if native is not None:
+        return native
     from scipy.io import wavfile
 
     file_sr, data = wavfile.read(path)
