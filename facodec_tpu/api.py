@@ -32,16 +32,14 @@ def _load_params(ckpt_path: str, models: Dict[str, Any], templates) -> Dict[str,
 
         converted = load_torch_checkpoint_file(ckpt_path, templates)
         return {k: converted[k] for k in models if k in converted}
-    # orbax directory (training checkpoint)
+    # orbax directory (training checkpoint): restore without a template —
+    # training checkpoints carry all five modules, inference needs three
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        os.path.abspath(ckpt_path),
-        {"params": templates, "opt_states": None, "step": np.asarray(0),
-         "epoch": np.asarray(0)},
-    )
-    return restored["params"]
+    restored = ckptr.restore(os.path.abspath(ckpt_path))
+    saved = restored["params"]
+    return {k: saved[k] for k in models}
 
 
 @dataclass

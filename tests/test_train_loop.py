@@ -79,3 +79,37 @@ def test_redecoder_loop_smoke(tmp_path):
     )
     assert int(state.step) == 2
     assert latest_checkpoint(str(tmp_path / "red")) is None or True
+
+
+@pytest.mark.slow
+def test_orbax_checkpoint_loads_into_api(tmp_path):
+    """Train 1 step, save an Orbax checkpoint, load it with the inference
+    API, reconstruct — the train->serve interop path."""
+    from facodec_tpu.api import FACodec
+    from facodec_tpu.train.loop import save_checkpoint
+    from facodec_tpu.train.optimizers import build_optimizers, init_opt_states
+    from facodec_tpu.models.builder import init_params
+    from facodec_tpu.train.step import TrainState
+
+    tiny = str(__import__("pathlib").Path(__file__).parent / "tiny_config.yml")
+    models = tiny_models()
+    params = init_params(models, jax.random.PRNGKey(0), seg_frames=4)
+    optimizers = build_optimizers(models.keys())
+    state = TrainState(params, init_opt_states(optimizers, params),
+                       jnp.ones((), jnp.int32))
+    path = save_checkpoint(str(tmp_path), state, epoch=0)
+
+    # tiny_config strides (2,5,5,6)/d 4 differ from tiny_models (15,20)/d 8;
+    # load with matching modules injected, exercising the orbax branch only
+    from facodec_tpu.api import _load_params
+
+    infer_models = {k: models[k] for k in ("encoder", "quantizer", "decoder")}
+    loaded = _load_params(path, infer_models, None)
+    for k in infer_models:
+        a = jax.tree.leaves(loaded[k])
+        b = jax.tree.leaves(params[k])
+        assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+    codec = FACodec(models=infer_models, params=loaded, n_c=2)
+    wave = np.random.default_rng(0).standard_normal(2400).astype(np.float32) * 0.2
+    recon = codec.reconstruct(wave)
+    assert recon.shape == (1, 2400) and np.isfinite(recon).all()
