@@ -18,3 +18,21 @@ Everything here is designed TPU-first:
 __version__ = "0.1.0"
 
 from facodec_tpu.utils.config import AttrDict, load_config, recursive_attrdict  # noqa: F401
+
+_LAZY = {
+    "FACodec": "facodec_tpu.api",
+    "FARedecoder": "facodec_tpu.api",
+    "convert_voice": "facodec_tpu.api",
+    "FACodecFile": "facodec_tpu.codec_file",
+    "StreamingFACodec": "facodec_tpu.models.streaming",
+    "build_model": "facodec_tpu.models.builder",
+    "init_params": "facodec_tpu.models.builder",
+}
+
+
+def __getattr__(name):  # PEP 562: heavy model/API imports stay lazy
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module 'facodec_tpu' has no attribute {name!r}")
