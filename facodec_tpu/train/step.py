@@ -111,14 +111,17 @@ def make_codec_train_step(
         return pred_wave, commit, cb, preds, rev_preds
 
     if remat:
-        gen_forward = jax.checkpoint(
-            gen_forward, static_argnums=(), policy=None
-        )
+        gen_forward = jax.checkpoint(gen_forward)
 
     def disc_loss_fn(disc_params, pred_wave, real_wave):
         d_fake = discriminator.apply({"params": disc_params}, pred_wave)
         d_real = discriminator.apply({"params": disc_params}, real_wave)
         return discriminator_loss(d_fake, d_real)
+
+    if remat:
+        # the discriminator fmaps (period-folded 2D convs over raw 24 kHz
+        # waves) dominate training memory; recompute them in backward too
+        disc_loss_fn = jax.checkpoint(disc_loss_fn)
 
     def gen_loss_from_outputs(gen_outs, disc_params, batch):
         pred_wave, commit, cb, preds, rev_preds = gen_outs
@@ -220,8 +223,9 @@ def make_codec_train_step(
         )
 
         # -------- phase G (adv term sees the updated discriminator)
+        g_loss_fn = jax.checkpoint(gen_loss_from_outputs) if remat else gen_loss_from_outputs
         (g_loss, metrics), outs_ct = jax.value_and_grad(
-            gen_loss_from_outputs, has_aux=True
+            g_loss_fn, has_aux=True
         )(gen_outs, params["discriminator"], batch)
         gen_grads = gen_vjp(outs_ct)[0]
 
