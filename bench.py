@@ -32,6 +32,15 @@ HOP = 300
 ITERS = 10
 
 
+def _cache():
+    try:
+        from facodec_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception:
+        pass
+
+
 def main(batch: int = 16, seconds: float = 10.0):
     from facodec_tpu.models.builder import init_params
     from facodec_tpu.models.dac import Decoder, Encoder
@@ -87,4 +96,5 @@ def main(batch: int = 16, seconds: float = 10.0):
 
 
 if __name__ == "__main__":
+    _cache()
     main()

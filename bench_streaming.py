@@ -26,6 +26,15 @@ from __graft_entry__ import FLAGSHIP
 SR, HOP = 24000, 300
 
 
+def _cache():
+    try:
+        from facodec_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception:
+        pass
+
+
 def main(chunk_frames: int = 16, seconds: float = 8.0, batch: int = 1):
     from facodec_tpu.models.builder import init_params
     from facodec_tpu.models.dac import Decoder, Encoder
@@ -97,4 +106,5 @@ def main(chunk_frames: int = 16, seconds: float = 8.0, batch: int = 1):
 
 
 if __name__ == "__main__":
+    _cache()
     main()

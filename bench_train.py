@@ -23,6 +23,15 @@ SR, HOP = 24000, 300
 ITERS = 4
 
 
+def _cache():
+    try:
+        from facodec_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
+    except Exception:
+        pass
+
+
 def main(batch: int = 4, seg_frames: int = 80):
     from facodec_tpu.models.builder import build_model, init_params
     from facodec_tpu.train.optimizers import build_optimizers, init_opt_states
@@ -82,4 +91,5 @@ def main(batch: int = 4, seg_frames: int = 80):
 
 
 if __name__ == "__main__":
+    _cache()
     main()
