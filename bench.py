@@ -3,10 +3,23 @@
 
 Prints ONE JSON line:
   {"metric": "encode_decode_rtf", "value": N, "unit": "x_realtime",
-   "vs_baseline": N}
+   "vs_baseline": N, ...extras}
 
 vs_baseline is relative to the driver target of 200x real time per chip
 (BASELINE.md; the reference publishes no numbers of its own).
+
+Extras carried in the same JSON object:
+  precision        matmul/conv policy ("bfloat16" default — MXU-native;
+                   FACODEC_BENCH_PRECISION=float32|hybrid to override)
+  codes_match_f32_frac  fraction of codes identical to the f32 path at
+                   flagship scale: 1.0 for "hybrid" (f32 encode by
+                   construction), ~0.95 for full "bfloat16" (encoder
+                   rounding flips argmins near Voronoi boundaries); the
+                   bit-exact guard at tiny scale is tests/test_precision.py
+  rtf_float32 / rtf_hybrid  headline-batch RTF under the other policies
+  flops_per_s_audio  XLA-counted FLOPs to process 1 s of audio
+  mfu              model FLOP utilization vs the chip's bf16 peak
+  batch_curve      [{batch, rtf}] for batch in {1, 8, 16, 32}
 
 Timing methodology (see .claude/skills/verify/SKILL.md gotchas): on the
 tunneled 'axon' TPU platform `block_until_ready` returns before execution
@@ -18,6 +31,7 @@ float() gates the whole chain — the RTT amortizes to ~3 ms/iter."""
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -31,6 +45,18 @@ SR = 24000
 HOP = 300
 ITERS = 10
 
+# bf16 peak matmul throughput per chip, by device kind (FLOP/s). The MXU
+# runs bf16 x bf16 -> f32 natively; f32 convs lower to the same units at
+# half rate, so bf16 peak is the honest roofline for both policies.
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
 
 def _cache():
     try:
@@ -41,7 +67,7 @@ def _cache():
         pass
 
 
-def main(batch: int = 16, seconds: float = 10.0):
+def _build_models():
     from facodec_tpu.models.builder import init_params
     from facodec_tpu.models.dac import Decoder, Encoder
     from facodec_tpu.models.fa_quantizer import FAquantizer
@@ -51,18 +77,39 @@ def main(batch: int = 16, seconds: float = 10.0):
         quantizer=FAquantizer(**FLAGSHIP["quantizer"]),
         decoder=Decoder(**FLAGSHIP["decoder"]),
     )
-    frames = int(seconds * SR) // HOP
-    T = frames * HOP
     params = init_params(models, jax.random.PRNGKey(0), seg_frames=8)
+    return models, params
+
+
+def _roundtrip_fn(models, prec, with_codes=False):
+    from facodec_tpu.ops.precision import policy
+
+    # "hybrid": f32 encode (bit-exact codes) + bf16 decode (~2/3 of FLOPs)
+    enc_prec, dec_prec = (
+        ("float32", "bfloat16") if prec == "hybrid" else (prec, prec)
+    )
 
     def roundtrip(params, wave):
-        w = wave[:, :, None]
-        z = models["encoder"].apply({"params": params["encoder"]}, w)
-        outs, *_ = models["quantizer"].apply(
-            {"params": params["quantizer"]}, z, wave, n_c=2
-        )
-        recon = models["decoder"].apply({"params": params["decoder"]}, outs)
+        with policy(enc_prec):
+            w = wave[:, :, None]
+            z = models["encoder"].apply({"params": params["encoder"]}, w)
+            outs, _, _, _, _, codes = models["quantizer"].apply(
+                {"params": params["quantizer"]}, z, wave, n_c=2, return_codes=True
+            )
+        with policy(dec_prec):
+            recon = models["decoder"].apply({"params": params["decoder"]}, outs)
+        if with_codes:
+            return recon, codes
         return jnp.sum(jnp.abs(recon))
+
+    return roundtrip
+
+
+def _timed_rtf(models, params, batch, seconds, prec):
+    """Compile + time the chained round trip; returns (rtf, dt_per_iter)."""
+    frames = int(seconds * SR) // HOP
+    T = frames * HOP
+    roundtrip = _roundtrip_fn(models, prec)
 
     @jax.jit
     def chained(params, wave):
@@ -71,12 +118,11 @@ def main(batch: int = 16, seconds: float = 10.0):
             # chain sequential and non-elidable
             s = roundtrip(params, wave + carry * 1e-12)
             return s, None
+
         s, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return s
 
-    key = jax.random.PRNGKey(1)
-    wave = 0.1 * jax.random.normal(key, (batch, T), jnp.float32)
-
+    wave = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (batch, T), jnp.float32)
     float(chained(params, wave))  # warmup / compile
 
     times = []
@@ -85,14 +131,89 @@ def main(batch: int = 16, seconds: float = 10.0):
         float(chained(params, wave))
         times.append(time.perf_counter() - t0)
     dt = min(times) / ITERS
+    return batch * seconds / dt, dt
 
-    rtf = batch * seconds / dt
-    print(json.dumps({
+
+def _flops_per_iter(models, params, batch, seconds, prec):
+    """XLA-counted FLOPs of ONE round trip (separate single-step jit — scan
+    bodies are counted once by HLO cost analysis, so the chained fn is not a
+    reliable source)."""
+    frames = int(seconds * SR) // HOP
+    T = frames * HOP
+    wave = jnp.zeros((batch, T), jnp.float32)
+    try:
+        lowered = jax.jit(_roundtrip_fn(models, prec)).lower(params, wave)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def _codes_match(models, params, prec, seconds=2.0):
+    """Flagship-scale code agreement with the f32 path: 1.0 for "hybrid"
+    (f32 encode by construction); ~0.95 for full "bfloat16" (encoder
+    rounding flips argmins near Voronoi boundaries)."""
+    import numpy as np
+
+    frames = int(seconds * SR) // HOP
+    wave = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (1, frames * HOP), jnp.float32)
+    outs = {}
+    for p in ("float32", prec):
+        fn = jax.jit(_roundtrip_fn(models, p, with_codes=True))
+        _, codes = fn(params, wave)
+        outs[p] = [np.asarray(c) for c in codes]
+    total = sum(a.size for a in outs["float32"])
+    agree = sum(
+        int((a == b).sum()) for a, b in zip(outs["float32"], outs[prec])
+    )
+    return agree / total
+
+
+def main(batch: int = 16, seconds: float = 10.0):
+    prec = os.environ.get("FACODEC_BENCH_PRECISION", "bfloat16")
+    skip_extras = os.environ.get("FACODEC_BENCH_FAST", "") == "1"
+
+    models, params = _build_models()
+
+    rtf, dt = _timed_rtf(models, params, batch, seconds, prec)
+
+    result = {
         "metric": "encode_decode_rtf",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / TARGET_RTF, 3),
-    }))
+        "precision": prec,
+        "batch": batch,
+        "seconds": seconds,
+    }
+
+    if not skip_extras:
+        flops = _flops_per_iter(models, params, batch, seconds, prec)
+        if flops:
+            dev = jax.devices()[0]
+            peak = PEAK_BF16.get(getattr(dev, "device_kind", ""), 197e12)
+            result["flops_per_s_audio"] = round(flops / (batch * seconds), 3)
+            result["mfu"] = round(flops / dt / peak, 4)
+            result["device_kind"] = getattr(dev, "device_kind", "unknown")
+        try:
+            result["codes_match_f32_frac"] = round(
+                _codes_match(models, params, prec), 4
+            )
+        except Exception:
+            result["codes_match_f32_frac"] = None
+        curve = []
+        for b in (1, 8, 16, 32):
+            r = rtf if b == batch else _timed_rtf(models, params, b, seconds, prec)[0]
+            curve.append({"batch": b, "rtf": round(r, 2)})
+        result["batch_curve"] = curve
+        for other in ("float32", "hybrid"):
+            if other != prec:
+                r, _ = _timed_rtf(models, params, batch, seconds, other)
+                result[f"rtf_{other}"] = round(r, 2)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,13 @@ class FACodec:
     models: Dict[str, Any]
     params: Dict[str, Any]
     n_c: int = 2
+    # matmul/conv precision (ops/precision.py):
+    #   "float32"  reference-exact everywhere
+    #   "bfloat16" MXU-native everywhere; ~95% identical codes at flagship
+    #              scale (encoder rounding flips argmin near Voronoi edges)
+    #   "hybrid"   f32 encode (codes BIT-EXACT by construction) + bf16 decode
+    #              (where ~2/3 of the round-trip FLOPs are)
+    precision: str = "float32"
 
     # jitted lazily per (batch, length) signature
     _enc: Any = field(default=None, repr=False)
@@ -57,35 +64,47 @@ class FACodec:
     @classmethod
     def from_config(
         cls, config_path: str, ckpt_path: Optional[str] = None,
-        rng_seed: int = 0, n_c: int = 2,
+        rng_seed: int = 0, n_c: int = 2, precision: str = "float32",
     ) -> "FACodec":
         cfg = load_config(config_path)
         models = build_model(cfg.model_params, stage="codec")
         models = {k: models[k] for k in ("encoder", "quantizer", "decoder")}
         templates = init_params(models, jax.random.PRNGKey(rng_seed))
         params = _load_params(ckpt_path, models, templates) if ckpt_path else templates
-        return cls(models=models, params=params, n_c=n_c)
+        return cls(models=models, params=params, n_c=n_c, precision=precision)
 
     def __post_init__(self):
+        from facodec_tpu.ops.precision import policy
+
         enc, qt, dec = (self.models[k] for k in ("encoder", "quantizer", "decoder"))
         n_c = self.n_c
+        if self.precision == "hybrid":
+            enc_prec, dec_prec = "float32", "bfloat16"
+        else:
+            enc_prec = dec_prec = self.precision
 
+        # the policy context wraps each closure BODY so every trace (first
+        # call and shape-driven retraces) sees this instance's precision
         def encode(params, wave):
-            z = enc.apply({"params": params["encoder"]}, wave[:, :, None])
-            outs, quantized, commit, cb, timbre, codes = qt.apply(
-                {"params": params["quantizer"]}, z, wave, n_c=n_c, return_codes=True
-            )
-            return outs, codes, timbre
+            with policy(enc_prec):
+                z = enc.apply({"params": params["encoder"]}, wave[:, :, None])
+                outs, quantized, commit, cb, timbre, codes = qt.apply(
+                    {"params": params["quantizer"]}, z, wave, n_c=n_c,
+                    return_codes=True,
+                )
+                return outs, codes, timbre
 
         def decode_codes(params, codes_p, codes_c, codes_r, timbre):
-            outs = qt.apply(
-                {"params": params["quantizer"]}, codes_p, codes_c, codes_r,
-                timbre, method=qt.decode_from_codes_v2,
-            )
-            return dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
+            with policy(dec_prec):
+                outs = qt.apply(
+                    {"params": params["quantizer"]}, codes_p, codes_c, codes_r,
+                    timbre, method=qt.decode_from_codes_v2,
+                )
+                return dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
 
         def decode_outs(params, outs):
-            return dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
+            with policy(dec_prec):
+                return dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
 
         self._enc = jax.jit(encode)
         self._dec_codes = jax.jit(decode_codes)

@@ -10,11 +10,15 @@ For every wav in a manifest, writes `<wav>.targets.npz` with:
   spk_label ()       speaker id from TitaNet (requires NeMo) or the manifest
             sid column as fallback
 
-Each teacher degrades gracefully when its dependency/weights are absent
-(fills zeros and reports), so the pipeline runs in restricted environments.
+A requested teacher that is unavailable is a HARD ERROR (exit 2) — training
+on real data must never silently use zero labels (the reference runs all
+three teachers unconditionally in its loop, train.py:91-101). Explicitly
+opt out of teachers with --teachers / --allow-missing; `--allow-missing
+titanet` falls back to the manifest sid column (real labels, not zeros).
 
     python -m facodec_tpu.cli.extract_targets --manifest data/train.txt
         [--root ./data] [--jdc-ckpt modules/JDC/bst.t7]
+        [--teachers jdc,w2v,titanet] [--allow-missing titanet]
 """
 
 from __future__ import annotations
@@ -100,6 +104,9 @@ def _titanet_fn():
         return None
 
 
+TEACHERS = ("jdc", "w2v", "titanet")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--manifest", type=str, required=True)
@@ -107,15 +114,45 @@ def main(argv=None) -> int:
     p.add_argument("--jdc-ckpt", type=str,
                    default=os.environ.get("FACODEC_JDC_CKPT", ""))
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--teachers", type=str, default="jdc,w2v,titanet",
+                   help="comma list of teachers to run (subset of jdc,w2v,titanet)")
+    p.add_argument("--allow-missing", type=str, default="",
+                   help="teachers allowed to be unavailable: jdc/w2v fill "
+                        "zeros, titanet falls back to the manifest sid. "
+                        "Without this flag an unavailable teacher is a hard "
+                        "error (exit 2) — training must not silently see "
+                        "zero labels.")
     args = p.parse_args(argv)
+
+    requested = [t.strip() for t in args.teachers.split(",") if t.strip()]
+    allow_missing = {t.strip() for t in args.allow_missing.split(",") if t.strip()}
+    for t in list(requested) + sorted(allow_missing):
+        if t not in TEACHERS:
+            p.error(f"unknown teacher {t!r}; valid: {', '.join(TEACHERS)}")
 
     from facodec_tpu.train.data import compute_mel, load_wav
 
-    jdc = _jdc_fn(args.jdc_ckpt)
-    if jdc is None:
-        print("[extract_targets] JDC weights not found; f0 will be zeros")
-    w2v = _w2v_fn()
-    titanet = _titanet_fn()
+    jdc = _jdc_fn(args.jdc_ckpt) if "jdc" in requested else None
+    w2v = _w2v_fn() if "w2v" in requested else None
+    titanet = _titanet_fn() if "titanet" in requested else None
+
+    # hard gate: a requested-but-unavailable teacher aborts unless the user
+    # explicitly allowed it (reference runs all three live, train.py:91-101)
+    missing = [
+        name for name, fn in (("jdc", jdc), ("w2v", w2v), ("titanet", titanet))
+        if name in requested and fn is None
+    ]
+    fatal = [t for t in missing if t not in allow_missing]
+    if fatal:
+        print(f"[extract_targets] ERROR: requested teacher(s) unavailable: "
+              f"{', '.join(fatal)}. Install the dependency/weights, drop them "
+              f"from --teachers, or pass --allow-missing {','.join(fatal)} to "
+              "accept degraded targets.")
+        return 2
+    for t in missing:
+        fallback = "manifest sid" if t == "titanet" else "zeros"
+        print(f"[extract_targets] WARNING: {t} unavailable (allowed); "
+              f"falling back to {fallback}")
 
     n = 0
     with open(args.manifest) as f:

@@ -39,8 +39,17 @@ class VectorQuantize(nn.Module):
     codebook_dim: int
 
     def setup(self):
-        self.in_proj = Conv1d(self.input_dim, self.codebook_dim, 1, weight_norm=True)
-        self.out_proj = Conv1d(self.codebook_dim, self.input_dim, 1, weight_norm=True)
+        # exact=True: the VQ projections are f32 islands under the bf16
+        # precision policy (ops/precision.py) — in_proj feeds the normalized-
+        # distance argmin and out_proj feeds the next RVQ stage's residual,
+        # so both directly determine code indices. They are 1x1 convs between
+        # 8 and input_dim channels: negligible FLOPs next to the codec convs.
+        self.in_proj = Conv1d(
+            self.input_dim, self.codebook_dim, 1, weight_norm=True, exact=True
+        )
+        self.out_proj = Conv1d(
+            self.codebook_dim, self.input_dim, 1, weight_norm=True, exact=True
+        )
         self.codebook = Embedding(self.codebook_size, self.codebook_dim)
 
     def __call__(self, z: jnp.ndarray):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from facodec_tpu.nn.activations import mish
 from facodec_tpu.nn.conv import Conv1d, xavier_uniform_conv_init
+from facodec_tpu.ops.precision import cast_operands
 
 
 class MultiHeadAttention(nn.Module):
@@ -74,12 +75,19 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, Tk, H, k_channels).transpose(0, 2, 1, 3)
         v = v.reshape(B, Tk, H, k_channels).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q / math.sqrt(k_channels), k)
+        # attention matmuls follow the bf16 precision policy (f32 accumulate,
+        # f32 softmax) — the O(T^2) scores over full-utterance mel are the
+        # style encoder's dominant cost at long T
+        qc, kc = cast_operands(q / math.sqrt(k_channels), k)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qc, kc, preferred_element_type=jnp.float32
+        )
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
         p_attn = jax.nn.softmax(scores, axis=-1)
         p_attn = nn.Dropout(self.p_dropout, deterministic=not train)(p_attn)
-        out = jnp.einsum("bhqk,bhkd->bhqd", p_attn, v)
+        pc, vc = cast_operands(p_attn, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", pc, vc, preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, self.channels)
         return conv_o(out)
 

@@ -11,10 +11,14 @@ import jax
 import jax.numpy as jnp
 
 from facodec_tpu.nn.conv import torch_conv_kernel_init
+from facodec_tpu.ops.precision import matmul
 
 
 class Linear(nn.Module):
-    """y = x @ W^T + b with torch-layout weight (out, in)."""
+    """y = x @ W^T + b with torch-layout weight (out, in).
+
+    The matmul follows the bf16 precision policy (ops/precision.py) with f32
+    accumulation; bias add stays f32."""
 
     in_features: int
     out_features: int
@@ -25,7 +29,7 @@ class Linear(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         init = torch_conv_kernel_init(self.in_features)
         w = self.param("weight", init, (self.out_features, self.in_features))
-        y = x @ w.T
+        y = matmul(x, w.T)
         if self.use_bias:
             b = self.param("bias", self.bias_init or init, (self.out_features,))
             y = y + b

@@ -31,6 +31,7 @@ import numpy as np
 from jax import lax
 
 from facodec_tpu.ops.padding import get_extra_padding_for_conv1d, pad1d
+from facodec_tpu.ops.precision import cast_operands
 
 Dtype = Any
 
@@ -89,9 +90,19 @@ def conv1d_ntc(
     dilation: int = 1,
     groups: int = 1,
     padding: Tuple[int, int] = (0, 0),
+    exact: bool = False,
 ) -> jnp.ndarray:
-    """1-D conv over NTC input with a torch-layout (O, I/g, K) kernel."""
+    """1-D conv over NTC input with a torch-layout (O, I/g, K) kernel.
+
+    Under the bfloat16 precision policy (ops/precision.py) the operands are
+    cast to bf16 and the result cast back to f32 (the MXU accumulates f32
+    internally; conv VJPs require same-dtype operands, so unlike dot_general
+    the f32 output must come from a cast, not preferred_element_type).
+    `exact=True` opts a layer out (used by the VQ projections to protect
+    code bit-exactness)."""
     kernel = jnp.transpose(weight_oik, (2, 1, 0))  # -> (K, I/g, O) == WIO
+    if not exact:
+        x, kernel = cast_operands(x, kernel)
     y = lax.conv_general_dilated(
         x,
         kernel,
@@ -100,7 +111,7 @@ def conv1d_ntc(
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-    )
+    ).astype(jnp.float32)
     if bias is not None:
         y = y + bias[None, None, :]
     return y
@@ -133,6 +144,7 @@ def conv_transpose1d_ntc(
         w = w.reshape(groups, in_per_group, out_per_group, k)
         # jax grouped conv kernel: (K, I/g, O) with O = groups * O/g
         kernel = jnp.transpose(w, (3, 1, 0, 2)).reshape(k, in_per_group, groups * out_per_group)
+    x, kernel = cast_operands(x, kernel)
     y = lax.conv_general_dilated(
         x,
         kernel,
@@ -141,7 +153,7 @@ def conv_transpose1d_ntc(
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-    )
+    ).astype(jnp.float32)
     if bias is not None:
         y = y + bias[None, None, :]
     return y
@@ -164,6 +176,7 @@ class Conv1d(_ConvBase):
     use_bias: bool = True
     weight_norm: bool = False
     kernel_init: Optional[Any] = None
+    exact: bool = False  # opt out of the bf16 policy (VQ projections)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -177,7 +190,7 @@ class Conv1d(_ConvBase):
         return conv1d_ntc(
             x, w, b,
             stride=self.stride, dilation=self.dilation, groups=self.groups,
-            padding=(self.padding, self.padding),
+            padding=(self.padding, self.padding), exact=self.exact,
         )
 
 
@@ -225,6 +238,7 @@ class Conv2d(_ConvBase):
         w = self._weight((self.out_channels, self.in_channels, kh, kw), fan_in, self.weight_norm)
         b = self._bias(self.out_channels, fan_in, self.use_bias)
         kernel = jnp.transpose(w, (2, 3, 1, 0))  # (Kh, Kw, I, O) == HWIO
+        x, kernel = cast_operands(x, kernel)
         y = lax.conv_general_dilated(
             x,
             kernel,
@@ -232,7 +246,7 @@ class Conv2d(_ConvBase):
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
             rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        ).astype(jnp.float32)
         if b is not None:
             y = y + b[None, None, None, :]
         return y

@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from facodec_tpu.ops.precision import cast_operands, matmul
+
 LSTMState = Tuple[jnp.ndarray, jnp.ndarray]  # (h, c) each (num_layers, B, H)
 
 
@@ -43,13 +45,16 @@ def lstm_layer(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One LSTM layer over (B, T, C). Returns (y (B,T,H), hT, cT)."""
     # Hoist the input projection out of the scan: one MXU matmul for all steps.
-    x_proj = x @ w_ih.T + (b_ih + b_hh)  # (B, T, 4H)
-    w_hh_t = w_hh.T  # (H, 4H)
+    # Both matmuls follow the bf16 precision policy (f32 accumulation); the
+    # (h, c) carry and the gate nonlinearities stay f32 so recurrent state
+    # does not accumulate rounding across time steps.
+    x_proj = matmul(x, w_ih.T) + (b_ih + b_hh)  # (B, T, 4H)
+    w_hh_t = cast_operands(w_hh.T)  # (H, 4H), cast once outside the scan
     hidden = w_hh.shape[1]
 
     def step(carry, xp_t):
         h, c = carry
-        gates = xp_t + h @ w_hh_t  # (B, 4H)
+        gates = xp_t + matmul(h, w_hh_t)  # (B, 4H)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)

@@ -67,6 +67,7 @@ def make_codec_train_step(
     models: Mapping[str, Any],
     optimizers: Mapping[str, Any],
     remat: bool = False,
+    precision: str = "float32",
 ):
     """Returns `train_step(state, batch, rng) -> (state, metrics)` ready for
     jax.jit / pjit.
@@ -75,6 +76,10 @@ def make_codec_train_step(
     are recomputed in the backward pass instead of stored — HBM for FLOPs,
     enabling longer segments / larger per-chip batches (the reference has no
     equivalent; torch would use checkpoint_sequential).
+
+    precision="bfloat16" runs every matmul/conv (forward AND backward, both
+    phases) with bf16 operands and f32 accumulation; params, optimizer state,
+    losses and the VQ code path stay f32 (ops/precision.py).
 
     batch dict (all fixed-shape, segment cropping happens in the pipeline):
       wave_seg   (B, Tw)   24 kHz segment, Tw = frames * 300
@@ -202,6 +207,12 @@ def make_codec_train_step(
         return loss, metrics
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        from facodec_tpu.ops.precision import policy
+
+        with policy(precision):
+            return _train_step(state, batch, rng)
+
+    def _train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         params, opt_states = dict(state.params), dict(state.opt_states)
 
         gen_params = {k: params[k] for k in GEN_KEYS}

@@ -178,8 +178,10 @@ def test_evaluate_cli(tmp_path):
     assert 0 < data["utterances"][0]["code_usage"]["content"] <= 1
 
 
-def test_extract_targets_graceful(tmp_path):
-    """No teachers available: writes zero targets + manifest sid fallback."""
+def test_extract_targets_hard_fails_without_teachers(tmp_path):
+    """A requested-but-unavailable teacher is a hard error (exit 2): training
+    must never silently consume zero labels (reference train.py:91-101 runs
+    the teachers unconditionally)."""
     from scipy.io import wavfile
 
     from facodec_tpu.cli.extract_targets import main as et_main
@@ -189,7 +191,25 @@ def test_extract_targets_graceful(tmp_path):
     manifest = str(tmp_path / "train.txt")
     with open(manifest, "w") as f:
         f.write(f"{wav}\t7\ten\ttext\tphones\n")
+    # zero-egress env: jdc ckpt missing, w2v/titanet undownloadable -> abort
     rc = et_main(["--manifest", manifest])
+    assert rc == 2
+    assert not (tmp_path / "b.wav.targets.npz").exists()
+
+
+def test_extract_targets_explicit_optout(tmp_path):
+    """--allow-missing makes degradation explicit: zero f0/phones, manifest
+    sid speaker fallback."""
+    from scipy.io import wavfile
+
+    from facodec_tpu.cli.extract_targets import main as et_main
+
+    wav = str(tmp_path / "b.wav")
+    wavfile.write(wav, SR, (tone(0.4) * 32767).astype(np.int16))
+    manifest = str(tmp_path / "train.txt")
+    with open(manifest, "w") as f:
+        f.write(f"{wav}\t7\ten\ttext\tphones\n")
+    rc = et_main(["--manifest", manifest, "--allow-missing", "jdc,w2v,titanet"])
     assert rc == 0
     tgt = np.load(wav + ".targets.npz")
     frames = len(tone(0.4)) // HOP

@@ -1,0 +1,186 @@
+"""bf16 mixed-precision policy: codes bit-exact, recon close, scoping sane.
+
+The bfloat16 policy (facodec_tpu/ops/precision.py) casts matmul/conv operands
+to bf16 with f32 accumulation. The VQ projections and distance math are f32
+islands, so code indices should survive the encoder's bf16 rounding — these
+tests pin that property on the full codec stack (fixed seeds; any argmin flip
+would be a deterministic failure, not flakiness).
+
+The reference is pure fp32 torch (no AMP anywhere in /root/reference), so
+there is no golden to compare against — the f32 path, itself golden-tested in
+test_model_parity.py, is the oracle here.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from facodec_tpu.models.builder import build_model, init_params
+from facodec_tpu.ops import precision
+from facodec_tpu.utils.config import load_config
+
+CFG = os.path.join(os.path.dirname(__file__), "tiny_config.yml")
+
+
+@pytest.fixture(scope="module")
+def codec():
+    cfg = load_config(CFG)
+    models = build_model(cfg.model_params, stage="codec")
+    models = {k: models[k] for k in ("encoder", "quantizer", "decoder")}
+    params = init_params(models, jax.random.PRNGKey(0), seg_frames=4)
+    return models, params
+
+
+def _roundtrip(models, params, wave):
+    enc, qt, dec = models["encoder"], models["quantizer"], models["decoder"]
+    z = enc.apply({"params": params["encoder"]}, wave[:, :, None])
+    outs, quantized, commit, cb, timbre, codes = qt.apply(
+        {"params": params["quantizer"]}, z, wave, n_c=2, return_codes=True
+    )
+    recon = dec.apply({"params": params["decoder"]}, outs)
+    return recon[:, :, 0], codes, timbre
+
+
+def test_bf16_codes_bit_exact_and_recon_close(codec):
+    models, params = codec
+    wave = jnp.asarray(
+        0.3 * np.random.default_rng(7).standard_normal((2, 8 * 300)), jnp.float32
+    )
+
+    recon32, codes32, timbre32 = _roundtrip(models, params, wave)
+    with precision.policy("bfloat16"):
+        recon16, codes16, timbre16 = _roundtrip(models, params, wave)
+
+    # the north-star property: bf16 path emits the SAME code indices
+    for c32, c16 in zip(codes32, codes16):
+        np.testing.assert_array_equal(np.asarray(c32), np.asarray(c16))
+
+    # outputs are f32 (accumulation dtype), numerically close to the f32 path
+    assert recon16.dtype == jnp.float32
+    assert np.max(np.abs(np.asarray(recon16) - np.asarray(recon32))) < 5e-2
+    # timbre vector drives only gamma/beta conditioning; loose check
+    d = np.abs(np.asarray(timbre16) - np.asarray(timbre32))
+    assert np.max(d) / (np.max(np.abs(np.asarray(timbre32))) + 1e-9) < 5e-2
+
+
+def test_bf16_streaming_codes_match_oneshot(codec):
+    """Chunked streaming under bf16 emits the same codes as one-shot bf16
+    (the bf16 analogue of test_streaming.py's full-pipeline exactness)."""
+    from facodec_tpu.models.streaming import StreamingFACodec
+
+    models, params = codec
+    enc, qt, dec = models["encoder"], models["quantizer"], models["decoder"]
+    HOP, frames, chunk = 300, 24, 12
+    wave = jnp.asarray(
+        0.2 * np.random.default_rng(8).standard_normal((1, frames * HOP)), jnp.float32
+    )
+    with precision.policy("bfloat16"):
+        z = enc.apply({"params": params["encoder"]}, wave[:, :, None])
+        _, _, _, _, timbre, codes_full = qt.apply(
+            {"params": params["quantizer"]}, z, wave, n_c=1, return_codes=True
+        )
+        sess = StreamingFACodec(enc, qt, dec, params, chunk_frames=chunk, n_c=1)
+        est = sess.init_encode_state(1)
+        codes_chunks = []
+        for i in range(0, frames * HOP, chunk * HOP):
+            est, _, codes = sess.encode_chunk(est, wave[:, i : i + chunk * HOP], timbre)
+            codes_chunks.append(codes)
+        _, codes_tail = sess.flush_encode(est, timbre)
+        codes_chunks.append(codes_tail)
+        codes_stream = [
+            jnp.concatenate([c[j] for c in codes_chunks], axis=-1) for j in range(3)
+        ]
+        for got, want in zip(codes_stream, codes_full):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_hybrid_api_codes_bit_exact(codec):
+    """precision="hybrid" (f32 encode / bf16 decode) emits codes BIT-EXACT
+    to the f32 API by construction — the guaranteed-exact fast mode at any
+    scale (full-bf16 exactness degrades at flagship width, see bench.py)."""
+    from facodec_tpu.api import FACodec
+
+    models, params = codec
+    wave = 0.3 * np.random.default_rng(9).standard_normal((1, 8 * 300)).astype(np.float32)
+    c32 = FACodec(models=models, params=params, n_c=2, precision="float32")
+    chy = FACodec(models=models, params=params, n_c=2, precision="hybrid")
+    f32, fhy = c32.encode(wave), chy.encode(wave)
+    np.testing.assert_array_equal(f32.codes_p, fhy.codes_p)
+    np.testing.assert_array_equal(f32.codes_c, fhy.codes_c)
+    np.testing.assert_array_equal(f32.codes_r, fhy.codes_r)
+    np.testing.assert_array_equal(f32.timbre, fhy.timbre)
+    y32, yhy = c32.decode(f32), chy.decode(fhy)
+    assert np.max(np.abs(y32 - yhy)) < 5e-2
+
+
+def test_policy_scoping_and_validation():
+    assert precision.get_policy() == "float32"
+    with precision.policy("bf16"):
+        assert precision.get_policy() == "bfloat16"
+        assert precision.compute_dtype() == jnp.bfloat16
+        with precision.policy(None):  # None = inherit
+            assert precision.get_policy() == "bfloat16"
+    assert precision.get_policy() == "float32"
+    assert precision.compute_dtype() == jnp.float32
+    with pytest.raises(ValueError):
+        precision.set_policy("fp16")
+    # exception safety: policy restored even when the body raises
+    try:
+        with precision.policy("bfloat16"):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert precision.get_policy() == "float32"
+
+
+def test_cast_operands_shapes_and_ints():
+    x = jnp.ones((2, 3), jnp.float32)
+    i = jnp.ones((2,), jnp.int32)
+    with precision.policy("bfloat16"):
+        xc = precision.cast_operands(x)
+        assert xc.dtype == jnp.bfloat16
+        a, b = precision.cast_operands(x, i)
+        assert a.dtype == jnp.bfloat16 and b.dtype == jnp.int32
+        y = precision.matmul(jnp.ones((4, 8)), jnp.ones((8, 4)))
+        assert y.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(y), 8.0)
+    assert precision.cast_operands(x).dtype == jnp.float32
+
+
+@pytest.mark.slow
+def test_bf16_train_step_finite():
+    """Full GAN step under the bf16 policy: compiles, runs, finite losses,
+    params stay f32."""
+    from facodec_tpu.models.builder import build_model
+    from facodec_tpu.train.optimizers import build_optimizers, init_opt_states
+    from facodec_tpu.train.step import TrainState, make_codec_train_step
+
+    cfg = load_config(CFG)
+    models = build_model(cfg.model_params, stage="codec")
+    params = init_params(models, jax.random.PRNGKey(0), seg_frames=4)
+    optimizers = build_optimizers(models.keys(), base_lr=1e-4)
+    opt_states = init_opt_states(optimizers, params)
+
+    frames, hop = 4, 300
+    B, tw = 2, 4 * 300
+    rng = np.random.default_rng(0)
+    batch = dict(
+        wave_seg=jnp.asarray(rng.standard_normal((B, tw)) * 0.3, jnp.float32),
+        mel_seg=jnp.asarray(rng.standard_normal((B, frames, 80)) * 0.5, jnp.float32),
+        f0=jnp.asarray(np.abs(rng.standard_normal((B, frames))) * 200, jnp.float32),
+        phone_ids=jnp.asarray(rng.integers(0, 32, (B, frames)), jnp.int32),
+        spk_labels=jnp.asarray(rng.integers(0, 16, (B,)), jnp.int32),
+        full_waves=jnp.asarray(rng.standard_normal((B, 2 * tw)) * 0.3, jnp.float32),
+        wave_lens=jnp.asarray([2 * tw, tw], jnp.int32),
+    )
+    step = jax.jit(make_codec_train_step(models, optimizers, precision="bfloat16"))
+    state = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss/gen_all"]))
+    assert np.isfinite(float(metrics["loss/disc"]))
+    leaves = jax.tree.leaves(state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating))

@@ -61,8 +61,10 @@ def test_forward_v1_parity():
         np.testing.assert_allclose(
             np.transpose(np.asarray(gq), (0, 2, 1)), wq.numpy(), rtol=2e-3, atol=2e-3
         )
-    np.testing.assert_allclose(float(got_commit), float(commit), rtol=1e-2)
-    np.testing.assert_allclose(float(got_cb), float(cb), rtol=1e-2)
+    # same reduction order as torch; measured rel error ~1e-7 (see the
+    # matching tolerance note in test_model_parity.py)
+    np.testing.assert_allclose(float(got_commit), float(commit), rtol=1e-5)
+    np.testing.assert_allclose(float(got_cb), float(cb), rtol=1e-5)
 
 
 def test_encode_decode_v1_parity():
