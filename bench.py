@@ -9,8 +9,13 @@ vs_baseline is relative to the driver target of 200x real time per chip
 (BASELINE.md; the reference publishes no numbers of its own).
 
 Extras carried in the same JSON object:
-  precision        matmul/conv policy ("bfloat16" default — MXU-native;
-                   FACODEC_BENCH_PRECISION=float32|hybrid to override)
+  precision        matmul/conv policy (default "float32" — MEASURED fastest:
+                   XLA already lowers f32 convs to bf16 MXU multiplies on
+                   TPU, so the explicit-bf16 policy only adds cast traffic
+                   on this memory-bound model: 305.8x f32 vs 289.5x hybrid
+                   vs 276.9x bf16 at batch 16. FACODEC_BENCH_PRECISION
+                   overrides; the bf16 policy still pays off in training,
+                   see bench_train.py)
   codes_match_f32_frac  fraction of codes identical to the f32 path at
                    flagship scale: 1.0 for "hybrid" (f32 encode by
                    construction), ~0.95 for full "bfloat16" (encoder
@@ -172,7 +177,7 @@ def _codes_match(models, params, prec, seconds=2.0):
 
 
 def main(batch: int = 16, seconds: float = 10.0):
-    prec = os.environ.get("FACODEC_BENCH_PRECISION", "bfloat16")
+    prec = os.environ.get("FACODEC_BENCH_PRECISION", "float32")
     skip_extras = os.environ.get("FACODEC_BENCH_FAST", "") == "1"
 
     models, params = _build_models()
@@ -198,17 +203,23 @@ def main(batch: int = 16, seconds: float = 10.0):
             result["mfu"] = round(flops / dt / peak, 4)
             result["device_kind"] = getattr(dev, "device_kind", "unknown")
         try:
+            # always the informative comparison: full-bf16 vs f32 ("hybrid"
+            # is 1.0 by construction, f32 trivially so)
             result["codes_match_f32_frac"] = round(
-                _codes_match(models, params, prec), 4
+                _codes_match(models, params, "bfloat16"), 4
             )
-        except Exception:
+        except Exception as e:
+            import sys
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
             result["codes_match_f32_frac"] = None
         curve = []
         for b in (1, 8, 16, 32):
             r = rtf if b == batch else _timed_rtf(models, params, b, seconds, prec)[0]
             curve.append({"batch": b, "rtf": round(r, 2)})
         result["batch_curve"] = curve
-        for other in ("float32", "hybrid"):
+        for other in ("float32", "hybrid", "bfloat16"):
             if other != prec:
                 r, _ = _timed_rtf(models, params, batch, seconds, other)
                 result[f"rtf_{other}"] = round(r, 2)

@@ -12,6 +12,7 @@ reconstruct_redecoder.py, dac/__main__.py, train.py, train_redecoder.py):
   train         codec GAN training
   train-redecoder  stage-2 redecoder training
   bench         one-chip round-trip benchmark (same as bench.py)
+  validate      pretrained-checkpoint parity gate vs the torch reference
 """
 
 from __future__ import annotations
@@ -31,12 +32,14 @@ def main(argv=None):
     from facodec_tpu.cli import convert as convert_cli
     from facodec_tpu.cli import reconstruct as reconstruct_cli
     from facodec_tpu.cli import stream as stream_cli
+    from facodec_tpu.cli import validate as validate_cli
 
     reconstruct_cli.add_args(sub.add_parser("reconstruct"))
     convert_cli.add_args(sub.add_parser("convert"))
     codec_cli.add_encode_args(sub.add_parser("encode"))
     codec_cli.add_decode_args(sub.add_parser("decode"))
     stream_cli.add_args(sub.add_parser("stream"))
+    validate_cli.add_args(sub.add_parser("validate"))
 
     p_train = sub.add_parser("train")
     p_train.add_argument("--config-path", type=str, required=True)
@@ -59,6 +62,8 @@ def main(argv=None):
         return codec_cli.main_decode(args)
     if args.command == "stream":
         return stream_cli.main(args)
+    if args.command == "validate":
+        return validate_cli.main(args)
     if args.command == "train":
         from facodec_tpu.train.loop import run_training
 

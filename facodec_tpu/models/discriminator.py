@@ -121,7 +121,9 @@ class MRD(nn.Module):
 class MSD(nn.Module):
     """Multi-scale waveform discriminator (reference discriminator.py:65-95).
     Disabled (rates=[]) in the released FAcodec config; provided for
-    completeness. rate > 1 downsampling uses the alias-free kaiser LPF."""
+    completeness. rate > 1 downsamples through the julius-exact fractional
+    sinc resampler (ops/resample.py), matching audiotools'
+    AudioSignal.resample (reference discriminator.py:83-84)."""
 
     rate: int = 1
     sample_rate: int = 44100
@@ -129,9 +131,11 @@ class MSD(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         if self.rate > 1:
-            from facodec_tpu.nn.alias_free import DownSample1d
+            from facodec_tpu.ops.resample import resample_frac
 
-            x = DownSample1d(self.rate)(x)
+            x = resample_frac(
+                x[:, :, 0], self.sample_rate, self.sample_rate // self.rate
+            )[:, :, None]
         fmap = []
         specs = [
             (1, 16, 15, 1, 1, 7),

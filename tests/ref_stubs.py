@@ -43,8 +43,39 @@ def _install_audiotools():
             return self.audio_data.shape[-1]
 
         def resample(self, new_rate):
-            if new_rate != self.sample_rate:  # pragma: no cover
-                raise NotImplementedError("stub resample: same-rate only")
+            """julius.resample_frac, reimplemented in torch: per-phase
+            rolloff-sinc kernels with cos^2 windows normalized to unit sum,
+            replicate pad (width, width + old), strided conv, floor-trim —
+            the algorithm audiotools delegates to (julius is not installed
+            here; this is the published algorithm, used as the golden for
+            facodec_tpu/ops/resample.py)."""
+            if new_rate == self.sample_rate:
+                return self
+            old, new = self.sample_rate, new_rate
+            g = math.gcd(int(old), int(new))
+            old, new = int(old) // g, int(new) // g
+            zeros, rolloff = 24, 0.945
+            sr = rolloff * min(old, new)
+            width = math.ceil(zeros * old / sr)
+            idx = torch.arange(-width, width + old, dtype=torch.float64)
+            kernels = []
+            for i in range(new):
+                t = (-i / new + idx / old) * sr
+                t = t.clamp(-zeros, zeros) * math.pi
+                window = torch.cos(t / zeros / 2) ** 2
+                kernel = torch.where(
+                    t == 0, torch.tensor(1.0, dtype=t.dtype), torch.sin(t) / t
+                ) * window
+                kernels.append(kernel / kernel.sum())
+            weight = torch.stack(kernels).to(torch.float32)[:, None]
+            x = self.audio_data
+            B, C, T = x.shape
+            xf = x.reshape(-1, 1, T)
+            xf = torch.nn.functional.pad(xf, (width, width + old), mode="replicate")
+            ys = torch.nn.functional.conv1d(xf, weight, stride=old)
+            y = ys.transpose(1, 2).reshape(B, C, -1)
+            self.audio_data = y[..., : int(new * T / old)]
+            self.sample_rate = new_rate
             return self
 
         def stft(self, window_length=None, hop_length=None, window_type=None,
