@@ -58,6 +58,8 @@ def main(args: argparse.Namespace) -> str:
         t0 = time.perf_counter()
         est, outs, codes = sess.encode_chunk(est, w[:, i : i + step], timbre)
         dst, y = sess.decode_chunk(dst, outs)
+        if y is None:  # small chunks buffer until the priming step
+            continue
         y = np.asarray(y)  # forces completion (real-time consumer boundary)
         lat.append(time.perf_counter() - t0)
         out.append(y)

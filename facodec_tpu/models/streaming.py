@@ -19,13 +19,25 @@ Mechanics:
   * Timbre: a fixed per-stream vector (from a reference utterance — the
     zero-shot VC scenario — or a first-pass estimate).
 
-Latency: chunk + 1 frame (12.5 ms) + device time. Chunk length is static ->
-one compiled step reused for the whole stream.
+Chunk size vs exactness (priming): the FIRST forward step must reproduce
+the one-shot forward's left reflect-pads, which span up to 10 latent frames
+at the flagship strides. Rather than forcing chunk_frames >= 11, the session
+PRIMES: incoming chunks accumulate in a host-side buffer until
+`prime_frames` (the smallest chunk multiple covering every reflect span) are
+available, then the first compiled step runs once over the whole buffer.
+Steady-state chunks can therefore be as small as ONE frame (12.5 ms);
+chunk_frames=4 gives a 50 ms buffering latency. Priming only delays the
+first emission (~137 ms at flagship) — exactly the signal-dependent warmup
+any reflect-padded causal model needs.
+
+Latency (steady state): chunk + 1 frame (12.5 ms) + device time. Chunk
+length is static -> one compiled step reused for the whole stream.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import math
+from dataclasses import dataclass, field, replace
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -41,6 +53,35 @@ WIN = 1200
 NFFT = 2048
 CTX = WIN // 2  # 600: one-sided effective mel support
 TAIL = WIN - HOP  # 900: carried wave samples
+
+
+def min_prime_frames_encoder(strides: Tuple[int, ...]) -> int:
+    """Smallest first-step length (latent frames) for exact encoder-side
+    streaming: every reflect-pad (conv left pad at its stage's rate, mel
+    front context) must be coverable by the first chunk itself."""
+    hop = 1
+    for st in strides:
+        hop *= st
+    worst = 7  # block_0 k=7 on the wave
+    rate = 1
+    for st in strides:
+        worst = max(worst, 55 * rate)  # dilation-9 resunit k_eff=55 at stage input
+        rate *= st
+    worst = max(worst, 3 * hop)  # final conv k=3 at frame rate
+    worst = max(worst, CTX + 1)  # mel front reflect needs 601 wave samples
+    return math.ceil(worst / hop)
+
+
+def min_first_frames_decoder(rates: Tuple[int, ...]) -> int:
+    """Smallest first decoder input (latent frames) covering its reflect
+    spans: model_0 k=7 at frame rate, dilation-9 resunits after each
+    upsample stage."""
+    worst = 7  # model_0 k=7 at frame rate
+    rate = 1
+    for r in rates:
+        rate *= r
+        worst = max(worst, math.ceil(55 / rate))
+    return worst
 
 
 def _mel_frames(wave_ctx: jnp.ndarray, n_frames: int, sample_rate: int,
@@ -67,15 +108,24 @@ def _reflect_back(tail: jnp.ndarray, pad: int) -> jnp.ndarray:
     return tail[:, -2 : -2 - pad : -1]
 
 
+@dataclass(frozen=True)
+class EncodeState:
+    """Session encode state: jitted core pytree + host-side priming buffer."""
+
+    core: Tuple  # (enc_s, wn_s, tail, lat_buf)
+    pending: Tuple[jnp.ndarray, ...] = ()
+    n_pending: int = 0
+    primed: bool = False
+
+
 @dataclass
 class StreamingFACodec:
     """Host-side streaming session over jitted chunk steps.
 
     encoder/quantizer/decoder are the flax modules (causal flagship config);
-    params the matching pytrees. chunk_frames is the static chunk size in
-    latent frames (>= 10 for exact first-chunk reflect coverage at the
-    flagship strides; 8 kHz of audio per 300-sample hop).
-    """
+    params the matching pytrees. chunk_frames is the static steady-state
+    chunk size in latent frames (300 samples / 12.5 ms each) — any size >= 1;
+    small chunks are primed (see module docstring)."""
 
     encoder: Any
     quantizer: Any
@@ -86,9 +136,15 @@ class StreamingFACodec:
 
     def __post_init__(self):
         C = self.chunk_frames
-        # the first emission is C-1 frames and must cover the decoder's
-        # deepest reflect-pad span (10 frames at the flagship rates)
-        assert C >= 11, "chunk_frames must be >= 11 for exact streaming"
+        assert C >= 1
+        # first emission is prime_frames-1 frames; it must cover the
+        # decoder's deepest reflect span AND the prosody WN's k=5 span
+        need = max(
+            min_prime_frames_encoder(self.encoder.strides),
+            min_first_frames_decoder(self.decoder.rates) + 1,
+            5 + 1,
+        )
+        self.prime_frames = math.ceil(need / C) * C
         enc, qt, dec = self.encoder, self.quantizer, self.decoder
 
         def encode_step(params, wave_chunk, timbre, state, first: bool):
@@ -97,14 +153,15 @@ class StreamingFACodec:
                 {"params": params["encoder"]}, wave_chunk[:, :, None], enc_s,
                 first=first,
             )
+            n_in = wave_chunk.shape[1] // HOP
             if first:
                 ctx = jnp.concatenate([_reflect_front(wave_chunk, CTX), wave_chunk], 1)
-                n_out = C - 1
+                n_out = n_in - 1
                 lat = latent[:, :n_out]
                 lat_buf = latent[:, n_out:]
             else:
                 ctx = jnp.concatenate([tail, wave_chunk], axis=1)
-                n_out = C
+                n_out = n_in
                 lat_cat = jnp.concatenate([lat_buf, latent], axis=1)
                 lat = lat_cat[:, :n_out]
                 lat_buf = lat_cat[:, n_out:]
@@ -140,40 +197,59 @@ class StreamingFACodec:
         # unjitted steady-state closures for lax.scan composition (run_scan)
         self._encode_steady_raw = lambda p, w, t, s: encode_step(p, w, t, s, False)
         self._decode_steady_raw = lambda p, o, s: decode_step(p, o, s, False)
+        self._flush_raw = flush_step
 
     # ------------------------------------------------------------- encode
-    def init_encode_state(self, batch: int) -> Tuple:
+    def init_encode_state(self, batch: int) -> EncodeState:
         enc_s = encoder_stream_state(self.encoder, batch)
         wn_s = wn_stream_state(_quantizer_wn(self.quantizer), batch)
         tail = jnp.zeros((batch, TAIL))
         lat_buf = jnp.zeros((batch, 1, self.quantizer.in_dim))
-        return (enc_s, wn_s, tail, lat_buf, True)
+        return EncodeState(core=(enc_s, wn_s, tail, lat_buf))
 
-    def encode_chunk(self, state, wave_chunk: jnp.ndarray, timbre: jnp.ndarray):
-        """wave_chunk (B, chunk_frames*300). Returns (state, outs, codes);
-        first call emits chunk_frames-1 frames, later calls chunk_frames."""
-        *core, first = state
-        fn = self._encode_first if first else self._encode
-        outs, codes, core = fn(self.params, wave_chunk, timbre, tuple(core))
-        return (*core, False), outs, codes
+    def encode_chunk(self, state: EncodeState, wave_chunk: jnp.ndarray,
+                     timbre: jnp.ndarray):
+        """wave_chunk (B, chunk_frames*300). Returns (state, outs, codes).
+        While priming (accumulated input < prime_frames) outs/codes are None;
+        the priming step emits prime_frames-1 frames, later calls
+        chunk_frames. Total latency to first emission ~= prime duration."""
+        if not state.primed:
+            pending = state.pending + (wave_chunk,)
+            n = state.n_pending + wave_chunk.shape[1] // HOP
+            if n < self.prime_frames:
+                return replace(state, pending=pending, n_pending=n), None, None
+            wave0 = pending[0] if len(pending) == 1 else jnp.concatenate(pending, 1)
+            outs, codes, core = self._encode_first(self.params, wave0, timbre,
+                                                   state.core)
+            return EncodeState(core=core, primed=True), outs, codes
+        outs, codes, core = self._encode(self.params, wave_chunk, timbre, state.core)
+        return EncodeState(core=core, primed=True), outs, codes
 
-    def flush_encode(self, state, timbre: jnp.ndarray):
+    def flush_encode(self, state: EncodeState, timbre: jnp.ndarray):
         """Emit the final (end-reflect) frame."""
-        *core, first = state
-        return self._flush(self.params, timbre, tuple(core))
+        if not state.primed:
+            raise ValueError(
+                f"stream shorter than prime_frames={self.prime_frames} frames "
+                "({self.prime_frames * HOP} samples); use the one-shot forward"
+            )
+        return self._flush(self.params, timbre, state.core)
 
     # ------------------------------------------------------------- decode
     def init_decode_state(self, batch: int) -> Tuple:
         return (decoder_stream_state(self.decoder, batch), True)
 
-    def decode_chunk(self, state, outs: jnp.ndarray):
+    def decode_chunk(self, state, outs: Optional[jnp.ndarray]):
+        """outs=None (encoder still priming) is a no-op."""
+        if outs is None:
+            return state, None
         core, first = state
         fn = self._decode_first if first else self._decode
         wave, core = fn(self.params, outs, core)
         return (core, False), wave
 
     # ---------------------------------------------------------- scan mode
-    def run_scan(self, wave: jnp.ndarray, timbre: jnp.ndarray):
+    def run_scan(self, wave: jnp.ndarray, timbre: jnp.ndarray,
+                 flush: bool = True):
         """Process a whole (B, n_chunks*chunk_frames*300) wave through the
         chunked encode+decode pipeline as ONE `lax.scan` — a single device
         launch for the entire stream (no per-chunk host round trips), with
@@ -184,23 +260,27 @@ class StreamingFACodec:
         interactive chunk API there (its steps chain by state, so executions
         pipeline on-device without host sync anyway).
 
-        Returns (recon_wave (B, T - 300), codes) — the first chunk emits
-        C-1 frames and no flush is applied, so output trails input by one
-        frame; use flush_encode for the tail when exactness to the one-shot
-        forward is needed."""
+        With flush=True (default) the end-reflect frame is emitted too, so
+        recon has the input's full length and output == the one-shot forward.
+        Returns (recon_wave (B, T), codes [p, c, r] each (B, n_cb, T//300))."""
         B, T = wave.shape
         C = self.chunk_frames
         step = C * HOP
         assert T % step == 0, "wave length must be a chunk multiple"
         n_chunks = T // step
+        prime_chunks = self.prime_frames // C
+        assert n_chunks >= prime_chunks, (
+            f"need >= {prime_chunks} chunks ({self.prime_frames} frames) to prime"
+        )
         chunks = wave.reshape(B, n_chunks, step).transpose(1, 0, 2)
 
-        est = tuple(self.init_encode_state(B))[:-1]
+        est = self.init_encode_state(B).core
         dst = self.init_decode_state(B)[0]
 
-        # chunk 0 (first=True static branch) outside the scan
-        outs0, codes0, est = self._encode_first(self.params, chunks[0], timbre, est)
-        wave0, dst = self._decode_first(self.params, outs0, dst)
+        # priming chunks (first=True static branch) outside the scan
+        wave0 = chunks[:prime_chunks].transpose(1, 0, 2).reshape(B, -1)
+        outs0, codes0, est = self._encode_first(self.params, wave0, timbre, est)
+        wave_out0, dst = self._decode_first(self.params, outs0, dst)
 
         p = self.params
 
@@ -210,15 +290,27 @@ class StreamingFACodec:
             w, dst = self._decode_steady_raw(p, outs, dst)
             return (est, dst), (w, codes)
 
-        if n_chunks > 1:
-            (_, _), (waves, codes) = jax.lax.scan(body, (est, dst), chunks[1:])
-            # (n-1, B, step) -> (B, (n-1)*step)
-            rest = waves.transpose(1, 0, 2).reshape(B, -1)
-            recon = jnp.concatenate([wave0, rest], axis=1)
-        else:
-            recon = wave0
-            codes = None
-        return recon, (codes0, codes)
+        parts, code_parts = [wave_out0], [codes0]
+        if n_chunks > prime_chunks:
+            (est, dst), (waves, codes) = jax.lax.scan(
+                body, (est, dst), chunks[prime_chunks:]
+            )
+            # (n, B, step) -> (B, n*step); codes (n, B, cb, C) -> (B, cb, n*C)
+            parts.append(waves.transpose(1, 0, 2).reshape(B, -1))
+            code_parts.append([
+                c.transpose(1, 2, 0, 3).reshape(B, c.shape[2], -1) for c in codes
+            ])
+        if flush:
+            outs_t, codes_t = self._flush_raw(p, timbre, est)
+            w_t, dst = self._decode_steady_raw(p, outs_t, dst)
+            parts.append(w_t)
+            code_parts.append(codes_t)
+        recon = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        codes = [
+            jnp.concatenate([cp[j] for cp in code_parts], axis=-1)
+            for j in range(len(code_parts[0]))
+        ]
+        return recon, codes
 
 
 def _quantizer_wn(quantizer) -> Any:

@@ -122,10 +122,13 @@ def test_encoder_streaming_jit_chunks():
     np.testing.assert_allclose(np.asarray(got), np.asarray(full), **TOL)
 
 
-def test_full_codec_streaming_exact():
+@pytest.mark.parametrize("chunk", [4, 8, 12])
+def test_full_codec_streaming_exact(chunk):
     """Streaming session (encoder + quantizer incl. mel/WN/RVQ + decoder)
     reproduces the one-shot forward_v2 eval path: bit-exact codes, matching
-    conditioned latents and waves."""
+    conditioned latents and waves. chunk < 11 exercises the priming buffer
+    (small chunks accumulate until the reflect spans are covered, then
+    stream at the requested size — 50 ms steady-state latency at chunk=4)."""
     from facodec_tpu.models.builder import init_params
     from facodec_tpu.models.fa_quantizer import FAquantizer
     from facodec_tpu.models.streaming import StreamingFACodec
@@ -140,7 +143,7 @@ def test_full_codec_streaming_exact():
     models = dict(encoder=enc, quantizer=qt, decoder=dec)
     params = init_params(models, jax.random.PRNGKey(0), seg_frames=10)
 
-    HOP, frames, chunk = 300, 36, 12
+    HOP, frames = 300, 36
     wave = jnp.asarray(
         np.random.default_rng(7).standard_normal((2, frames * HOP)) * 0.2, jnp.float32
     )
@@ -160,6 +163,9 @@ def test_full_codec_streaming_exact():
     for i in range(0, frames * HOP, chunk * HOP):
         est, outs, codes = sess.encode_chunk(est, wave[:, i : i + chunk * HOP], timbre)
         dst, w = sess.decode_chunk(dst, outs)
+        if outs is None:
+            assert not est.primed  # still buffering toward prime_frames
+            continue
         outs_chunks.append(outs)
         codes_chunks.append(codes)
         wave_chunks.append(w)
@@ -186,8 +192,11 @@ def test_full_codec_streaming_exact():
     )
 
 
-def test_run_scan_matches_chunk_loop():
-    """lax.scan whole-stream mode == the interactive chunk loop."""
+@pytest.mark.parametrize("chunk,n_chunks", [(12, 3), (6, 5)])
+def test_run_scan_matches_chunk_loop(chunk, n_chunks):
+    """lax.scan whole-stream mode == the interactive chunk loop (incl. the
+    flush frame, so the scan output covers the full input length), at both
+    a self-priming chunk size and a small primed one."""
     from facodec_tpu.models.builder import init_params
     from facodec_tpu.models.fa_quantizer import FAquantizer
     from facodec_tpu.models.streaming import StreamingFACodec
@@ -202,7 +211,7 @@ def test_run_scan_matches_chunk_loop():
     params = init_params(dict(encoder=enc, quantizer=qt, decoder=dec),
                          jax.random.PRNGKey(0), seg_frames=12)
 
-    HOP, chunk, n_chunks = 300, 12, 3
+    HOP = 300
     wave = jnp.asarray(
         np.random.default_rng(9).standard_normal((1, n_chunks * chunk * HOP)) * 0.2,
         jnp.float32,
@@ -210,17 +219,29 @@ def test_run_scan_matches_chunk_loop():
     timbre = jnp.zeros((1, 64))
     sess = StreamingFACodec(enc, qt, dec, params, chunk_frames=chunk, n_c=1)
 
-    # interactive loop
+    # interactive loop (flush-complete)
     est, dst = sess.init_encode_state(1), sess.init_decode_state(1)
-    waves = []
+    waves, code_parts = [], []
     for i in range(0, wave.shape[1], chunk * HOP):
-        est, outs, _ = sess.encode_chunk(est, wave[:, i : i + chunk * HOP], timbre)
+        est, outs, codes = sess.encode_chunk(est, wave[:, i : i + chunk * HOP], timbre)
         dst, w = sess.decode_chunk(dst, outs)
+        if outs is None:
+            continue
         waves.append(w)
+        code_parts.append(codes)
+    outs_t, codes_t = sess.flush_encode(est, timbre)
+    dst, w_t = sess.decode_chunk(dst, outs_t)
+    waves.append(w_t)
+    code_parts.append(codes_t)
     loop_wave = jnp.concatenate(waves, axis=1)
+    loop_codes = [
+        jnp.concatenate([c[j] for c in code_parts], axis=-1) for j in range(3)
+    ]
 
     # scan mode
-    scan_wave, _ = jax.jit(sess.run_scan)(wave, timbre)
-    assert scan_wave.shape == loop_wave.shape
+    scan_wave, scan_codes = jax.jit(sess.run_scan)(wave, timbre)
+    assert scan_wave.shape == loop_wave.shape == wave.shape
+    for got, want in zip(scan_codes, loop_codes):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     np.testing.assert_allclose(np.asarray(scan_wave), np.asarray(loop_wave),
                                rtol=1e-5, atol=1e-5)
