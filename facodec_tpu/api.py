@@ -131,6 +131,104 @@ class FACodec:
             sample_rate=SR, hop_length=HOP, original_length=int(w.shape[-1]),
         )
 
+    def encode_streaming(
+        self, wave: np.ndarray, chunk_frames: int = 80,
+        timbre_seconds: float = 10.0,
+    ) -> FACodecFile:
+        """Bounded-memory encode for arbitrarily long inputs.
+
+        Runs the EXACT stateful streaming session chunk by chunk (codes are
+        bit-identical to the one-shot encoder — test_streaming.py), so a
+        10-minute file costs one compiled ~1 s chunk program and O(chunk)
+        activations instead of a fresh whole-utterance XLA program. The
+        reference handles long files by windowed recompute at fixed memory
+        (dac/model/base.py:188-216); this is the stronger equivalent.
+
+        Timbre is a global utterance vector in forward_v2 (reference
+        modules/quantize.py:375-382) — for long inputs it is estimated from
+        the first `timbre_seconds` (timbre is speaker-stationary; the
+        StyleEncoder's attention is quadratic in frames, so capping is also
+        what keeps memory bounded)."""
+        from facodec_tpu.models.streaming import StreamingFACodec
+
+        w = self._prep(wave)
+        B, T = w.shape
+        n_frames = T // HOP
+        twin = min(T, max(HOP, int(timbre_seconds * SR) // HOP * HOP))
+        _, _, timbre = self._enc(self.params, w[:, :twin])
+
+        if n_frames < 2 * chunk_frames:  # short input: one-shot is cheaper
+            return self.encode(wave)
+
+        sess = StreamingFACodec(
+            self.models["encoder"], self.models["quantizer"],
+            self.models["decoder"], self.params, chunk_frames=chunk_frames,
+            n_c=self.n_c,
+        )
+        est = sess.init_encode_state(B)
+        step = chunk_frames * HOP
+        parts: List[Any] = []
+        for i in range(0, n_frames * HOP, step):
+            chunk = w[:, i : i + step]  # tail chunk may be shorter (own jit)
+            est, _, codes = sess.encode_chunk(est, chunk, timbre)
+            if codes is not None:
+                parts.append(codes)
+        _, codes_t = sess.flush_encode(est, timbre)
+        parts.append(codes_t)
+        cp, cc, cr = (
+            np.concatenate([np.asarray(p[j]) for p in parts], axis=-1)
+            for j in range(3)
+        )
+        return FACodecFile(
+            codes_p=cp.astype(np.uint16), codes_c=cc.astype(np.uint16),
+            codes_r=cr.astype(np.uint16), timbre=np.asarray(timbre),
+            sample_rate=SR, hop_length=HOP, original_length=int(T),
+        )
+
+    def decode_streaming(
+        self, f: FACodecFile, use_residual: bool = True, chunk_frames: int = 80
+    ) -> np.ndarray:
+        """Bounded-memory decode: frame-local `decode_from_codes_v2` + the
+        stateful streaming decoder, chunk by chunk (exact — identical to the
+        one-shot decode; the decoder's causal convs carry left context)."""
+        from facodec_tpu.models.dac import decoder_stream_state
+        from facodec_tpu.models.streaming import min_first_frames_decoder
+
+        qt, dec = self.models["quantizer"], self.models["decoder"]
+        assert chunk_frames >= min_first_frames_decoder(dec.rates)
+
+        def step(params, cp, cc, cr, timbre, state, first):
+            outs = qt.apply(
+                {"params": params["quantizer"]}, cp, cc, cr, timbre,
+                method=qt.decode_from_codes_v2,
+            )
+            wave, state = dec.apply(
+                {"params": params["decoder"]}, outs, state, first=first
+            )
+            return wave[:, :, 0], state
+
+        jit_first = jax.jit(lambda p, a, b, c, t, s: step(p, a, b, c, t, s, True))
+        jit_step = jax.jit(lambda p, a, b, c, t, s: step(p, a, b, c, t, s, False))
+
+        cp = jnp.asarray(f.codes_p.astype(np.int32))
+        cc = jnp.asarray(f.codes_c.astype(np.int32))
+        cr = (jnp.asarray(f.codes_r.astype(np.int32))
+              if (use_residual and f.codes_r is not None) else None)
+        timbre = jnp.asarray(f.timbre)
+        state = decoder_stream_state(dec, cp.shape[0])
+        T = cp.shape[-1]
+        parts = []
+        for i in range(0, T, chunk_frames):
+            sl = slice(i, i + chunk_frames)
+            fn = jit_first if i == 0 else jit_step
+            wave, state = fn(self.params, cp[..., sl], cc[..., sl],
+                             None if cr is None else cr[..., sl], timbre, state)
+            parts.append(np.asarray(wave))
+        out = np.concatenate(parts, axis=1)
+        if f.original_length:
+            out = out[:, : f.original_length]
+        return out
+
     def decode(self, f: FACodecFile, use_residual: bool = True) -> np.ndarray:
         """FACodecFile -> wave (B, T) float numpy."""
         codes_r = jnp.asarray(f.codes_r.astype(np.int32)) if (
@@ -140,6 +238,40 @@ class FACodec:
             jnp.asarray(f.codes_p.astype(np.int32)),
             jnp.asarray(f.codes_c.astype(np.int32)),
             codes_r,
+            jnp.asarray(f.timbre),
+        )
+        out = np.asarray(wave)
+        if f.original_length:
+            out = out[:, : f.original_length]
+        return out
+
+    def decode_subset(
+        self, f: FACodecFile, use_prosody: bool = True, use_content: bool = True,
+        use_residual: bool = True,
+    ) -> np.ndarray:
+        """Decode an arbitrary stream subset (factorization probe; reference
+        train.py:428-466). E.g. prosody-only decode carries the F0 contour
+        but no phonetic content if the factorization holds."""
+        qt, dec = self.models["quantizer"], self.models["decoder"]
+        key = (use_prosody, use_content, use_residual)
+        cache = getattr(self, "_subset_jits", None)
+        if cache is None:
+            cache = self._subset_jits = {}
+        if key not in cache:
+            def fn(params, cp, cc, cr, timbre):
+                outs = qt.apply(
+                    {"params": params["quantizer"]}, cp, cc, cr, timbre,
+                    use_p=use_prosody, use_c=use_content, use_r=use_residual,
+                    method=qt.decode_streams_v2,
+                )
+                return dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
+
+            cache[key] = jax.jit(fn)
+        wave = cache[key](
+            self.params,
+            jnp.asarray(f.codes_p.astype(np.int32)),
+            jnp.asarray(f.codes_c.astype(np.int32)),
+            jnp.asarray(f.codes_r.astype(np.int32)) if f.codes_r is not None else None,
             jnp.asarray(f.timbre),
         )
         out = np.asarray(wave)

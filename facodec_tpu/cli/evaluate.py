@@ -4,10 +4,19 @@ signature and imports a package missing from its requirements;
 SURVEY.md §2.3).
 
 Metrics per utterance and aggregate:
-  mel_l1      7-scale mel-spectrogram L1 (the training objective)
-  stft_l1     multi-scale log-STFT L1
-  snr_db      waveform SNR of the reconstruction
-  code_usage  fraction of each stream's codebook used (collapse detector)
+  mel_l1        7-scale mel-spectrogram L1 (the training objective)
+  stft_l1       multi-scale log-STFT L1
+  snr_db        waveform SNR of the reconstruction
+  si_sdr_db     scale-invariant SDR (ops/metrics.py)
+  stoi          short-time objective intelligibility [0..1]
+  code_usage    fraction of each stream's codebook used (collapse detector)
+
+Disentanglement scorecard (--probe-disentangle): prosody-only and
+content-only decodes are F0-tracked and correlated against the source —
+the factorization property the reference audits only by ear through
+TensorBoard audio (train.py:428-466), quantified:
+  f0_corr_prosody   should be HIGH (prosody stream carries the contour)
+  f0_corr_content   should be LOW  (content stream should not)
 
     python -m facodec_tpu.cli.evaluate --manifest data/val.txt
         [--root ./data] [--ckpt-path ...] [--config-path ...] [--json out.json]
@@ -22,10 +31,12 @@ import os
 import numpy as np
 
 
-def evaluate_utterance(codec, wave: np.ndarray):
+def evaluate_utterance(codec, wave: np.ndarray, probe_disentangle: bool = True):
     import jax.numpy as jnp
 
     from facodec_tpu.losses import mel_spectrogram_loss, multi_scale_stft_loss
+    from facodec_tpu.ops.metrics import (f0_autocorr, f0_correlation, si_sdr,
+                                         stoi)
 
     f = codec.encode(wave)
     recon = codec.decode(f)[0]
@@ -42,8 +53,26 @@ def evaluate_utterance(codec, wave: np.ndarray):
         "content": len(np.unique(f.codes_c)) / 1024.0,
         "residual": len(np.unique(f.codes_r)) / 1024.0 if f.codes_r is not None else 0.0,
     }
-    return dict(mel_l1=mel_l1, stft_l1=stft_l1, snr_db=float(snr),
-                code_usage=usage)
+    out = dict(
+        mel_l1=mel_l1, stft_l1=stft_l1, snr_db=float(snr),
+        si_sdr_db=si_sdr(recon, ref), stoi=stoi(recon, ref, 24000),
+        code_usage=usage,
+    )
+    if probe_disentangle:
+        f0_src = f0_autocorr(ref)
+        p_only = codec.decode_subset(f, True, False, False)[0]
+        c_only = codec.decode_subset(f, False, True, False)[0]
+        r_p, v_p = f0_correlation(f0_autocorr(p_only), f0_src)
+        r_c, v_c = f0_correlation(f0_autocorr(c_only), f0_src)
+        out.update(
+            f0_corr_prosody=r_p, f0_corr_content=r_c,
+            voicing_agree_prosody=v_p, voicing_agree_content=v_c,
+        )
+    return out
+
+
+AGG_KEYS = ("mel_l1", "stft_l1", "snr_db", "si_sdr_db", "stoi",
+            "f0_corr_prosody", "f0_corr_content")
 
 
 def main(argv=None) -> int:
@@ -54,6 +83,7 @@ def main(argv=None) -> int:
     p.add_argument("--config-path", type=str, default=None)
     p.add_argument("--n-c", type=int, default=2)
     p.add_argument("--max-utts", type=int, default=None)
+    p.add_argument("--no-probe-disentangle", action="store_true")
     p.add_argument("--json", type=str, default=None)
     args = p.parse_args(argv)
 
@@ -78,15 +108,17 @@ def main(argv=None) -> int:
     results = []
     for path in rows:
         wave = load_wav(path)
-        m = evaluate_utterance(codec, wave)
+        m = evaluate_utterance(codec, wave,
+                               probe_disentangle=not args.no_probe_disentangle)
         m["path"] = path
         results.append(m)
         print(f"{path}: mel_l1={m['mel_l1']:.4f} stft_l1={m['stft_l1']:.4f} "
-              f"snr={m['snr_db']:.2f}dB")
+              f"snr={m['snr_db']:.2f}dB si_sdr={m['si_sdr_db']:.2f}dB "
+              f"stoi={m['stoi']:.3f}")
 
     agg = {
-        k: float(np.mean([r[k] for r in results]))
-        for k in ("mel_l1", "stft_l1", "snr_db")
+        k: float(np.nanmean([r[k] for r in results]))
+        for k in AGG_KEYS if k in results[0]
     }
     print("aggregate:", json.dumps(agg))
     if args.json:

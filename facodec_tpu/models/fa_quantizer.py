@@ -384,6 +384,29 @@ class FAquantizer(nn.Module):
             outs = outs + self.residual_quantizer.from_codes(codes_r)[0]
         return self._timbre_condition(outs, timbre)
 
+    def decode_streams_v2(
+        self, codes_p: jnp.ndarray, codes_c: jnp.ndarray,
+        codes_r: Optional[jnp.ndarray], timbre: jnp.ndarray,
+        use_p: bool = True, use_c: bool = True, use_r: bool = True,
+    ) -> jnp.ndarray:
+        """Decode an arbitrary subset of the factorized streams — the
+        factorization-audit decode (reference train.py:428-466 does this
+        with ad-hoc quantizer internals; here it is a first-class method
+        powering both train-time probes and cli/evaluate's quantitative
+        disentanglement numbers)."""
+        parts = []
+        if use_p:
+            parts.append(self.prosody_quantizer.from_codes(codes_p)[0])
+        if use_c:
+            parts.append(self.content_quantizer.from_codes(codes_c)[0])
+        if use_r and codes_r is not None:
+            parts.append(self.residual_quantizer.from_codes(codes_r)[0])
+        assert parts, "at least one stream must be selected"
+        outs = parts[0]
+        for p in parts[1:]:
+            outs = outs + p
+        return self._timbre_condition(outs, timbre)
+
 
 class FApredictors(nn.Module):
     """Supervision + gradient-reversal disentanglement heads

@@ -176,6 +176,10 @@ def test_evaluate_cli(tmp_path):
     data = json.load(open(out_json))
     assert np.isfinite(data["aggregate"]["mel_l1"])
     assert 0 < data["utterances"][0]["code_usage"]["content"] <= 1
+    # quality scorecard keys (VERDICT item 9): SI-SDR/STOI + disentanglement
+    utt = data["utterances"][0]
+    assert np.isfinite(utt["si_sdr_db"])
+    assert "stoi" in utt and "f0_corr_prosody" in utt and "f0_corr_content" in utt
 
 
 def test_extract_targets_hard_fails_without_teachers(tmp_path):
@@ -262,3 +266,78 @@ def test_cli_convert(tmp_path):
                 "--codec-config", TINY, "--redecoder-config", TINY,
                 "--output", str(tmp_path / "vc.wav")])
     assert os.path.exists(out)
+
+
+def test_loudness_meter_and_normalize():
+    """BS.1770 meter sanity: a full-scale 997 Hz sine reads ~-3.01 LKFS
+    (K-weighting is ~0 dB there; mean square of a sine = -3 dB), gain math
+    round-trips, silence is passed through (reference base.py:176-183)."""
+    from facodec_tpu.ops.loudness import integrated_loudness, normalize_loudness
+
+    t = np.arange(SR * 2) / SR
+    sine = np.sin(2 * np.pi * 997.0 * t).astype(np.float32)
+    loud = integrated_loudness(sine, SR)
+    assert abs(loud - (-3.01)) < 0.25
+
+    norm, input_db = normalize_loudness(0.1 * sine, SR, target_db=-16.0)
+    assert abs(input_db - (-23.01)) < 0.25
+    assert abs(integrated_loudness(norm, SR) - (-16.0)) < 0.05
+    # peak cap: normalizing a quiet click-free sine to 0 LUFS would clip
+    capped, _ = normalize_loudness(0.01 * sine, SR, target_db=0.0)
+    assert np.abs(capped).max() <= 1.0 + 1e-6
+
+    silent, db = normalize_loudness(np.zeros(SR), SR)
+    assert not np.isfinite(db) and np.all(silent == 0)
+
+
+def test_api_streaming_encode_decode_matches_oneshot(codec):
+    """encode_streaming codes == one-shot codes (bit-exact); decode_streaming
+    == one-shot decode — the bounded-memory long-file path (VERDICT item:
+    reference base.py:188-216 windowing, rebuilt on exact streaming)."""
+    wave = tone(4.1, seed=3)
+    f_one = codec.encode(wave)
+    f_str = codec.encode_streaming(wave, chunk_frames=16, timbre_seconds=60.0)
+    np.testing.assert_array_equal(f_str.codes_p, f_one.codes_p)
+    np.testing.assert_array_equal(f_str.codes_c, f_one.codes_c)
+    np.testing.assert_array_equal(f_str.codes_r, f_one.codes_r)
+    np.testing.assert_allclose(f_str.timbre, f_one.timbre, rtol=1e-5, atol=1e-5)
+
+    out_one = codec.decode(f_one)
+    out_str = codec.decode_streaming(f_one, chunk_frames=16)
+    assert out_str.shape == out_one.shape
+    np.testing.assert_allclose(out_str, out_one, rtol=2e-4, atol=2e-4)
+
+
+def test_cli_long_file_streaming_encode(tmp_path, monkeypatch):
+    """The encode CLI routes long inputs through the bounded-memory streaming
+    path (threshold forced down) and decode restores the stored loudness."""
+    from scipy.io import wavfile
+
+    from facodec_tpu.__main__ import main
+    from facodec_tpu.ops.loudness import integrated_loudness
+
+    src = str(tmp_path / "long.wav")
+    wave = tone(6.05, seed=5)
+    wavfile.write(src, SR, (wave * 32767).astype(np.int16))
+    monkeypatch.chdir(tmp_path)
+
+    fac = main(["encode", "--input", src, "--config-path", TINY,
+                "--streaming-threshold", "2.0", "--chunk-frames", "16",
+                "--output", str(tmp_path / "long.fac")])
+    assert os.path.exists(fac)
+    from facodec_tpu.codec_file import FACodecFile
+
+    f = FACodecFile.load(fac)
+    assert f.codes_p.shape[-1] == len(wave) // HOP
+    assert "input_db" in f.metadata
+
+    wav = main(["decode", "--input", fac, "--config-path", TINY,
+                "--streaming-threshold", "2.0", "--chunk-frames", "16",
+                "--output", str(tmp_path / "long_dec.wav")])
+    sr, data = wavfile.read(wav)
+    assert sr == SR and len(data) == len(wave) // HOP * HOP
+    # restored loudness ~= the source's (codec is random-init here, so only
+    # check the restore hits the stored target within a loose band)
+    got = integrated_loudness(data / 32767.0, SR)
+    want = f.metadata["input_db"]
+    assert abs(got - want) < 1.0
