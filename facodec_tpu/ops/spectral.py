@@ -179,3 +179,38 @@ def log_mel_spectrogram(
         n_mels=n_mels,
     )
     return (jnp.log(1e-5 + mel) - mel_mean) / mel_std
+
+
+def log_mel_spectrogram_np(
+    x: np.ndarray,
+    sample_rate: int = 24000,
+    n_fft: int = 2048,
+    hop_length: int = 300,
+    win_length: int = 1200,
+    n_mels: int = 80,
+    mel_mean: float = -4.0,
+    mel_std: float = 4.0,
+) -> np.ndarray:
+    """Pure-numpy twin of `log_mel_spectrogram` for HOST-SIDE pipelines.
+
+    Needed because under multi-process (multi-host) JAX, `jax.jit` outputs
+    span the GLOBAL device set — a jitted-on-CPU mel in the data loader
+    produces non-addressable arrays and crashes (found by
+    test_multihost.py). The input pipeline must never enter the JAX runtime;
+    this keeps the exact same math (identical filterbank table, same torch
+    STFT semantics) on the host. (B, T) -> (B, n_frames, n_mels) float32."""
+    x = np.asarray(x, np.float32)
+    n = np.arange(win_length)
+    window = (0.5 - 0.5 * np.cos(2.0 * math.pi * n / win_length)).astype(np.float32)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    p = n_fft // 2
+    x = np.pad(x, ((0, 0), (p, p)), mode="reflect")
+    n_frames = 1 + (x.shape[-1] - n_fft) // hop_length
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    frames = x[:, idx] * window[None, None, :]
+    spec = np.square(np.abs(np.fft.rfft(frames, n=n_fft, axis=-1))).astype(np.float32)
+    fb = _mel_filterbank_np(n_fft // 2 + 1, n_mels, sample_rate, 0.0, None, None)
+    mel = spec @ fb
+    return ((np.log(1e-5 + mel) - mel_mean) / mel_std).astype(np.float32)

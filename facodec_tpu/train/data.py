@@ -20,7 +20,6 @@ Mirrors the reference pipeline (/root/reference/meldataset.py):
 
 from __future__ import annotations
 
-import functools
 import os
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -43,34 +42,27 @@ class MelConfig:
     mel_std: float = 4.0
 
 
-@functools.lru_cache(maxsize=4)
-def _mel_fn(cfg: MelConfig):
-    import jax
-    from facodec_tpu.ops.spectral import log_mel_spectrogram
-
-    cpu = jax.devices("cpu")[0]
-
-    @functools.partial(jax.jit, device=cpu)
-    def f(wave):
-        return log_mel_spectrogram(
-            wave,
-            sample_rate=cfg.sample_rate,
-            n_fft=cfg.n_fft,
-            hop_length=cfg.hop_length,
-            win_length=cfg.win_length,
-            n_mels=cfg.n_mels,
-            mel_mean=cfg.mel_mean,
-            mel_std=cfg.mel_std,
-        )
-
-    return f
-
-
 def compute_mel(wave: np.ndarray, cfg: MelConfig = MelConfig()) -> np.ndarray:
-    """(T,) float wave -> (frames, n_mels) normalized log-mel (numpy)."""
-    out = _mel_fn(cfg)(np.asarray(wave, np.float32)[None])
+    """(T,) float wave -> (frames, n_mels) normalized log-mel (numpy).
+
+    Pure numpy (ops/spectral.log_mel_spectrogram_np): the data pipeline must
+    never enter the JAX runtime — under multi-process JAX a jitted host mel
+    yields non-addressable global arrays (test_multihost.py), and a host
+    thread touching the TPU backend would serialize against training steps."""
+    from facodec_tpu.ops.spectral import log_mel_spectrogram_np
+
+    out = log_mel_spectrogram_np(
+        np.asarray(wave, np.float32)[None],
+        sample_rate=cfg.sample_rate,
+        n_fft=cfg.n_fft,
+        hop_length=cfg.hop_length,
+        win_length=cfg.win_length,
+        n_mels=cfg.n_mels,
+        mel_mean=cfg.mel_mean,
+        mel_std=cfg.mel_std,
+    )
     n_frames = len(wave) // cfg.hop_length
-    return np.asarray(out)[0, :n_frames]
+    return out[0, :n_frames]
 
 
 def load_wav(path: str, sr: int = SR) -> np.ndarray:
@@ -176,13 +168,26 @@ class FileListDataset:
         )
 
 
-def collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+def collate(
+    items: Sequence[Dict[str, np.ndarray]],
+    bucket_frames: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
     """Zero-pad a list of utterances, sorted by length desc
-    (reference meldataset.py:74-100)."""
+    (reference meldataset.py:74-100).
+
+    bucket_frames rounds the padded length UP to a multiple (shape
+    bucketing): under jit every distinct (B, max_T) signature compiles a new
+    program, so without bucketing real-data batches would recompile almost
+    every step — torch hides this because eager kernels are shape-agnostic.
+    A multiple of ~240 frames (3 s) keeps the shape set tiny at <2% padding
+    overhead."""
     items = sorted(items, key=lambda d: len(d["wave"]), reverse=True)
     B = len(items)
     max_T = max(len(d["wave"]) for d in items)
     max_F = max(d["mel"].shape[0] for d in items)
+    if bucket_frames:
+        max_F = (max_F + bucket_frames - 1) // bucket_frames * bucket_frames
+        max_T = max(max_T, max_F * HOP)
     n_mels = items[0]["mel"].shape[1]
 
     waves = np.zeros((B, max_T), np.float32)
@@ -208,6 +213,7 @@ def collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 def shard_iterator(
     dataset, batch_size: int, rank: int = 0, world_size: int = 1,
     seed: int = 114514, shuffle: bool = True, epoch: int = 0,
+    bucket_frames: Optional[int] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Per-host batch iterator — DistributedSampler equivalent
     (meldataset.py:112-118). Yields collated batches of this host's shard."""
@@ -216,7 +222,66 @@ def shard_iterator(
         np.random.default_rng(seed + epoch).shuffle(order)
     order = order[rank::world_size]
     for i in range(0, len(order) - batch_size + 1, batch_size):
-        yield collate([dataset[int(j)] for j in order[i : i + batch_size]])
+        yield collate([dataset[int(j)] for j in order[i : i + batch_size]],
+                      bucket_frames=bucket_frames)
+
+
+def prefetch(iterator: Iterator, prepare, depth: int = 2) -> Iterator:
+    """Run `prepare(item)` for upcoming items on a background thread, `depth`
+    items ahead — the host builds (and `jax.device_put`s) batch N+1..N+depth
+    while the device executes step N, hiding the input pipeline behind
+    compute. device_put is async, so the H2D copy itself also overlaps.
+
+    The reference's loop is fully synchronous (teachers + crop inline,
+    train.py:177-212); torch DataLoader workers cover only file IO there.
+    depth<=0 degrades to the synchronous `map(prepare, iterator)`.
+
+    Single worker thread => `prepare`'s rng draws stay in iteration order
+    (training determinism is preserved — test_train_loop determinism test).
+    Exceptions in `prepare`/`iterator` re-raise at the consumer."""
+    if depth <= 0:
+        for item in iterator:
+            yield prepare(item)
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+    stop = threading.Event()  # consumer gone (early break): unwind the worker
+
+    def _put(x) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.1)
+                return True
+            except queue.Full:
+                pass
+        return False
+
+    def worker():
+        try:
+            for item in iterator:
+                if stop.is_set() or not _put(prepare(item)):
+                    return
+        except BaseException as e:  # surfaced at the consumer
+            _put(e)
+            return
+        _put(done)
+
+    t = threading.Thread(target=worker, daemon=True, name="facodec-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def segment_batch(

@@ -26,7 +26,8 @@ import numpy as np
 
 from facodec_tpu.models.builder import build_model, init_params
 from facodec_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from facodec_tpu.train.data import MelConfig, PseudoDataset, segment_batch, shard_iterator
+from facodec_tpu.train.data import (MelConfig, PseudoDataset, prefetch,
+                                    segment_batch, shard_iterator)
 from facodec_tpu.train.optimizers import build_optimizers, init_opt_states
 from facodec_tpu.train.step import TrainState, make_codec_train_step
 from facodec_tpu.utils.config import AttrDict, load_config
@@ -145,18 +146,31 @@ def run_training(
     n_hosts = jax.process_count()
     host = jax.process_index()
     done = False
+
+    # host-side batch preparation (segment crop + device_put), run `prefetch`
+    # batches ahead on a background thread so the device never waits for the
+    # input pipeline (the reference's loop is fully synchronous,
+    # train.py:177-212). bucket_frames quantizes padded shapes so jit
+    # doesn't recompile per batch on real variable-length data.
+    prefetch_depth = int(cfg.get("prefetch", 2))
+    bucket_frames = int(cfg.get("bucket_frames", 80))  # 1 s buckets
+
+    def _prepare(batch):
+        seg = segment_batch(batch, max_frames=max_frames, rng=rng)
+        seg = {
+            "wave_seg": seg["wave_seg"], "mel_seg": seg["mel_seg"],
+            "f0": seg["f0"], "phone_ids": seg["phone_ids"],
+            "spk_labels": seg["spk_labels"],
+            "full_waves": seg["full_waves"], "wave_lens": seg["wave_lens"],
+        }
+        return shard_batch(mesh, seg)
+
     with mesh:
         for epoch in range(start_epoch, cfg.get("epochs", 1000)):
-            for batch in shard_iterator(dataset, batch_size, rank=host,
-                                        world_size=n_hosts, epoch=epoch):
-                seg = segment_batch(batch, max_frames=max_frames, rng=rng)
-                seg = {
-                    "wave_seg": seg["wave_seg"], "mel_seg": seg["mel_seg"],
-                    "f0": seg["f0"], "phone_ids": seg["phone_ids"],
-                    "spk_labels": seg["spk_labels"],
-                    "full_waves": seg["full_waves"], "wave_lens": seg["wave_lens"],
-                }
-                seg = shard_batch(mesh, seg)
+            batches = shard_iterator(dataset, batch_size, rank=host,
+                                     world_size=n_hosts, epoch=epoch,
+                                     bucket_frames=bucket_frames)
+            for seg in prefetch(batches, _prepare, depth=prefetch_depth):
                 key, sub = jax.random.split(key)
                 t0 = time.time()
                 state, metrics = step_fn(state, seg, sub)

@@ -73,3 +73,61 @@ def test_compute_mel_matches_model_preprocess():
     got = compute_mel(wave)
     want = np.asarray(log_mel_spectrogram(jnp.asarray(wave)[None]))[0, : len(wave) // HOP]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_collate_bucket_frames():
+    """Shape bucketing: padded lengths round UP to the bucket multiple so jit
+    sees a small set of shapes on variable-length real data."""
+    from facodec_tpu.train.data import PseudoDataset, collate
+
+    ds = PseudoDataset(length=4, seed=0, min_s=1.0, max_s=1.9)
+    items = [ds[i] for i in range(4)]
+    b = collate(items, bucket_frames=64)
+    assert b["mels"].shape[1] % 64 == 0
+    assert b["waves"].shape[1] == b["mels"].shape[1] * 300
+    # content identical to the unbucketed collate on the shared prefix
+    u = collate(items)
+    F, T = u["mels"].shape[1], u["waves"].shape[1]
+    np.testing.assert_array_equal(b["mels"][:, :F], u["mels"])
+    np.testing.assert_array_equal(b["waves"][:, :T], u["waves"])
+    assert np.all(b["waves"][:, T:] == 0)
+    np.testing.assert_array_equal(b["wave_lens"], u["wave_lens"])
+
+
+def test_prefetch_matches_sync_and_propagates_errors():
+    from facodec_tpu.train.data import prefetch
+
+    items = list(range(20))
+    got = list(prefetch(iter(items), lambda x: x * x, depth=3))
+    assert got == [x * x for x in items]
+
+    # order-sensitive prepare (stateful rng) stays in iteration order
+    rng = np.random.default_rng(0)
+    got = list(prefetch(iter(items), lambda x: (x, rng.integers(100)), depth=2))
+    rng2 = np.random.default_rng(0)
+    want = [(x, rng2.integers(100)) for x in items]
+    assert [int(g[1]) for g in got] == [int(w[1]) for w in want]
+
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("boom")
+        return x
+
+    out = []
+    try:
+        for v in prefetch(iter(items), boom, depth=2):
+            out.append(v)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised and out == [0, 1, 2]
+
+    # early consumer break must not deadlock (worker unwinds via stop event)
+    g = prefetch(iter(items), lambda x: x, depth=1)
+    assert next(g) == 0
+    g.close()
+
+    # depth<=0 degrades to the synchronous path
+    assert list(prefetch(iter(items), lambda x: x + 1, depth=0)) == [
+        x + 1 for x in items
+    ]
