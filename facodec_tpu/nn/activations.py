@@ -12,10 +12,46 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+# --- fast sin^2 -------------------------------------------------------------
+# XLA's f32 `sin` on TPU does Payne-Hanek-accurate range reduction: ~140 VPU
+# ops/element, which made snake the single largest time sink in the codec
+# round trip (9.2 ms per application at (16, 240000, 64); see
+# scripts/bench_conv_fusion.py). Snake only needs sin^2, so the sign of the
+# reduced argument is irrelevant: reduce mod pi (2-constant Cody-Waite,
+# exact for the |alpha*x| <~ 1e4 range of real activations) and evaluate an
+# odd degree-13 minimax polynomial -> ~11 ops/element. Max abs error vs f64
+# is IDENTICAL to f32 jnp.sin squared at every tested scale (2.5e-7 at |x|<3,
+# dominated by f32 argument rounding beyond that) — validated in
+# tests/test_primitives.py::test_fast_sin2_accuracy.
+
+_PI_HI = 3.140625  # exact in binary32
+_PI_LO = 9.67653589793e-4  # pi - _PI_HI
+_SIN_COEFFS = (  # fdlibm __kernel_sin minimax, f32-truncated
+    -1.6666667163e-01, 8.3333337680e-03, -1.9841270114e-04,
+    2.7557314297e-06, -2.5050759689e-08, 1.5896910177e-10,
+)
+
+
+def sin2(x: jnp.ndarray) -> jnp.ndarray:
+    """sin(x)^2 at f32-sin accuracy in ~11 elementwise ops (vs ~140 for
+    XLA's exactly-range-reduced sin)."""
+    k = jnp.round(x * (1.0 / jnp.pi))
+    t = (x - k * _PI_HI) - k * _PI_LO  # in [-pi/2, pi/2], sign-ambiguous mod pi
+    t2 = t * t
+    p = _SIN_COEFFS[-1]
+    for c in _SIN_COEFFS[-2::-1]:
+        p = p * t2 + c
+    s = t + t * t2 * p
+    return s * s
+
 
 def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
-    """x + (alpha + 1e-9)^-1 * sin^2(alpha * x); alpha broadcasts over (B, T)."""
-    return x + jnp.square(jnp.sin(alpha * x)) / (alpha + 1e-9)
+    """x + (alpha + 1e-9)^-1 * sin^2(alpha * x); alpha broadcasts over (B, T).
+
+    The divide happens on the (1, 1, C) parameter, not the activation tensor
+    (XLA does not strength-reduce a broadcast divide on its own)."""
+    recip = 1.0 / (alpha + 1e-9)
+    return x + sin2(alpha * x) * recip
 
 
 class Snake1d(nn.Module):
@@ -28,8 +64,10 @@ class Snake1d(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, alpha_only: bool = False):
         alpha = self.param("alpha", lambda *_: jnp.ones((1, self.channels, 1)), ())
+        if alpha_only:
+            return alpha  # torch-shape (1, C, 1); for the fused kernel
         a = alpha.reshape(1, 1, self.channels)
         return snake(x, a)
 
@@ -55,7 +93,7 @@ class SnakeBeta(nn.Module):
         if self.alpha_logscale:
             a = jnp.exp(a)
             b = jnp.exp(b)
-        return x + jnp.square(jnp.sin(x * a)) / (b + 1e-9)
+        return x + sin2(x * a) * (1.0 / (b + 1e-9))
 
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:

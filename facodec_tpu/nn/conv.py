@@ -99,7 +99,30 @@ def conv1d_ntc(
     internally; conv VJPs require same-dtype operands, so unlike dot_general
     the f32 output must come from a cast, not preferred_element_type).
     `exact=True` opts a layer out (used by the VQ projections to protect
-    code bit-exactness)."""
+    code bit-exactness).
+
+    Pointwise (K=1) convs bypass lax.conv: XLA's TPU conv emitter runs them
+    ~10x slower than the identical einsum when fused into a larger program
+    (45 ms vs 4 ms at (16, 240000, 64); scripts/bench_conv_fusion.py), and
+    a 1x1 conv IS a matmul. Streaming and one-shot paths share this code, so
+    chunked==one-shot bit-exactness is preserved."""
+    if (
+        weight_oik.shape[-1] == 1
+        and stride == 1
+        and groups == 1
+        and padding == (0, 0)
+    ):
+        if not exact:
+            x, w = cast_operands(x, weight_oik[:, :, 0])
+            y = jnp.einsum("btc,oc->bto", x, w).astype(jnp.float32)
+        else:
+            y = jnp.einsum(
+                "btc,oc->bto", x, weight_oik[:, :, 0],
+                precision=lax.Precision.HIGHEST,
+            )
+        if bias is not None:
+            y = y + bias[None, None, :]
+        return y
     kernel = jnp.transpose(weight_oik, (2, 1, 0))  # -> (K, I/g, O) == WIO
     if not exact:
         x, kernel = cast_operands(x, kernel)
@@ -291,7 +314,22 @@ class SConv1d(_ConvBase):
         x: jnp.ndarray,
         state: Optional[jnp.ndarray] = None,
         first: bool = False,
+        weights_only: bool = False,
     ):
+        if weights_only:
+            # create/fetch params and hand back the EFFECTIVE (weight-norm
+            # applied) torch-layout kernel — used by the fused Pallas
+            # residual unit (ops/pallas/resunit.py) which consumes raw
+            # weights instead of calling the conv.
+            fan_in = (self.in_channels // self.groups) * self.kernel_size
+            w = self._weight(
+                (self.out_channels, self.in_channels // self.groups,
+                 self.kernel_size),
+                fan_in,
+                self.norm == "weight_norm",
+            )
+            b = self._bias(self.out_channels, fan_in, self.use_bias)
+            return w, b
         k_eff = (self.kernel_size - 1) * self.dilation + 1
         padding_total = k_eff - self.stride
         if state is not None:

@@ -116,6 +116,23 @@ def test_snakebeta_matches_torch(logscale):
     assert_close_nct(got, want)
 
 
+def test_fast_sin2_accuracy():
+    """The polynomial sin^2 (nn/activations.py) must match f64 sin^2 as
+    closely as f32 exact-sin does — i.e. the approximation adds NO error
+    beyond f32 argument rounding, at every activation scale."""
+    from facodec_tpu.nn.activations import sin2
+
+    rng = np.random.RandomState(0)
+    for scale in (3.0, 30.0, 300.0, 3000.0):
+        x = rng.uniform(-scale, scale, 100000).astype(np.float32)
+        ref64 = np.sin(x.astype(np.float64)) ** 2
+        got = np.asarray(sin2(jnp.asarray(x)))
+        exact32 = np.sin(x) ** 2
+        err_fast = np.abs(got - ref64).max()
+        err_exact = np.abs(exact32 - ref64).max()
+        assert err_fast <= max(2 * err_exact, 3e-7), (scale, err_fast, err_exact)
+
+
 def test_mish_matches_torch():
     x = torch.linspace(-5, 5, 101)
     want = x * torch.tanh(F.softplus(x))
