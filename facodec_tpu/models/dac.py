@@ -39,14 +39,36 @@ class ResidualUnit(nn.Module):
     dilation: int = 1
     causal: bool = False
 
+    def _use_fused(self, x: jnp.ndarray) -> bool:
+        from facodec_tpu.ops.fused import fused_enabled
+        from facodec_tpu.ops.pallas.resunit import eligible
+
+        return fused_enabled() and eligible(self.dim, 7, x.shape[1])
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, stream: StreamState = None, first: bool = False):
         new_state = {}
-        y = Snake1d(self.dim, name="block_0")(x)
+        snake1 = Snake1d(self.dim, name="block_0")
         conv1 = SConv1d(
             self.dim, self.dim, 7, dilation=self.dilation, causal=self.causal,
             norm="weight_norm", name="block_1",
         )
+        if stream is None and self._use_fused(x):
+            from facodec_tpu.ops.pallas.resunit import fused_residual_unit
+
+            w7, b7 = conv1(x, weights_only=True)
+            snake2 = Snake1d(self.dim, name="block_2")
+            conv2 = SConv1d(
+                self.dim, self.dim, 1, causal=self.causal,
+                norm="weight_norm", name="block_3",
+            )
+            w1, b1 = conv2(x, weights_only=True)
+            return fused_residual_unit(
+                x, w7, b7, w1, b1,
+                snake1(x, alpha_only=True), snake2(x, alpha_only=True),
+                self.dilation, self.causal, "reflect",
+            )
+        y = snake1(x)
         if stream is not None:
             y, new_state["block_1"] = conv1(y, stream["block_1"], first=first)
         else:

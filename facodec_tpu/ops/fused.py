@@ -1,0 +1,31 @@
+"""Trace-time switch for the fused Pallas fast paths (ops/pallas/resunit.py).
+
+Default OFF: the golden-parity and streaming-exactness tests pin the XLA
+composition bit-for-bit, and the fused kernels differ from it by f32
+summation order (~1e-6). Inference entry points (api, CLIs, bench) call
+`enable_fused()` before building their jitted functions.
+
+IMPORTANT: the flag is read at TRACE time inside module __call__. jit caches
+traces — flipping the flag after a function has been compiled does NOT
+retrace it. Set it once, before first use, or use separate wrapper
+functions per setting (as tests/test_fused_resunit.py does).
+
+`FACODEC_FUSED=0/1` overrides programmatic settings.
+"""
+
+from __future__ import annotations
+
+import os
+
+_STATE = {"enabled": False}
+
+
+def enable_fused(on: bool = True) -> None:
+    _STATE["enabled"] = bool(on)
+
+
+def fused_enabled() -> bool:
+    env = os.environ.get("FACODEC_FUSED")
+    if env is not None:
+        return env not in ("0", "false", "False", "")
+    return _STATE["enabled"]
