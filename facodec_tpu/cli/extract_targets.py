@@ -48,12 +48,18 @@ def _jdc_fn(jdc_ckpt: str):
     return run
 
 
-def _w2v_fn():
+def _w2v_fn(name: str = ""):
+    """Frame-phoneme teacher: wav2vec2 CTC argmax (train.py:95-97, 181-186).
+
+    `name` may be an HF hub id or a LOCAL directory (save_pretrained layout)
+    — the local path keeps the real transformers inference path exercisable
+    in zero-egress environments (tests/test_api_cli.py builds a tiny
+    random-init model offline and runs this exact code)."""
     try:
         import torch
         from transformers import Wav2Vec2ForCTC, Wav2Vec2Processor
 
-        name = "facebook/wav2vec2-xlsr-53-espeak-cv-ft"
+        name = name or "facebook/wav2vec2-xlsr-53-espeak-cv-ft"
         processor = Wav2Vec2Processor.from_pretrained(name)
         model = Wav2Vec2ForCTC.from_pretrained(name).eval()
 
@@ -116,6 +122,11 @@ def main(argv=None) -> int:
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--teachers", type=str, default="jdc,w2v,titanet",
                    help="comma list of teachers to run (subset of jdc,w2v,titanet)")
+    p.add_argument("--w2v-model", type=str,
+                   default=os.environ.get("FACODEC_W2V_MODEL", ""),
+                   help="wav2vec2 CTC model: HF hub id or local "
+                        "save_pretrained directory (default: the reference's "
+                        "facebook/wav2vec2-xlsr-53-espeak-cv-ft)")
     p.add_argument("--allow-missing", type=str, default="",
                    help="teachers allowed to be unavailable: jdc/w2v fill "
                         "zeros, titanet falls back to the manifest sid. "
@@ -133,7 +144,7 @@ def main(argv=None) -> int:
     from facodec_tpu.train.data import compute_mel, load_wav
 
     jdc = _jdc_fn(args.jdc_ckpt) if "jdc" in requested else None
-    w2v = _w2v_fn() if "w2v" in requested else None
+    w2v = _w2v_fn(args.w2v_model) if "w2v" in requested else None
     titanet = _titanet_fn() if "titanet" in requested else None
 
     # hard gate: a requested-but-unavailable teacher aborts unless the user

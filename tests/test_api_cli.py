@@ -228,6 +228,54 @@ def test_extract_targets_explicit_optout(tmp_path):
     assert int(item["spk_label"]) == 7
 
 
+def test_extract_targets_real_w2v_path(tmp_path):
+    """Drive the REAL wav2vec2-CTC teacher code (transformers inference,
+    24k->16k resample, CTC argmax, nearest-frame interp — reference
+    train.py:95-97, 181-186) end-to-end against a tiny random-init model
+    saved locally, proving the pipeline needs no network to be validated."""
+    transformers = pytest.importorskip("transformers")
+    import json as _json
+
+    from scipy.io import wavfile
+
+    from facodec_tpu.cli.extract_targets import main as et_main
+
+    # tiny random Wav2Vec2ForCTC + processor, fully offline
+    mdir = tmp_path / "w2v_tiny"
+    mdir.mkdir()
+    vocab = {c: i for i, c in enumerate("<pad> a b c d e f g".split())}
+    with open(mdir / "vocab.json", "w") as f:
+        _json.dump(vocab, f)
+    tok = transformers.Wav2Vec2CTCTokenizer(
+        str(mdir / "vocab.json"), pad_token="<pad>")
+    fe = transformers.Wav2Vec2FeatureExtractor(
+        feature_size=1, sampling_rate=16000, padding_value=0.0,
+        do_normalize=True, return_attention_mask=False)
+    transformers.Wav2Vec2Processor(feature_extractor=fe, tokenizer=tok
+                                   ).save_pretrained(str(mdir))
+    cfg = transformers.Wav2Vec2Config(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        conv_dim=(16, 16, 16, 16, 16, 16, 16))
+    transformers.Wav2Vec2ForCTC(cfg).save_pretrained(str(mdir))
+
+    wav = str(tmp_path / "c.wav")
+    wavfile.write(wav, SR, (tone(0.5) * 32767).astype(np.int16))
+    manifest = str(tmp_path / "train.txt")
+    with open(manifest, "w") as f:
+        f.write(f"{wav}\t3\ten\ttext\tphones\n")
+    rc = et_main(["--manifest", manifest, "--teachers", "w2v",
+                  "--w2v-model", str(mdir)])
+    assert rc == 0
+    tgt = np.load(wav + ".targets.npz")
+    frames = len(tone(0.5)) // HOP
+    assert tgt["phone_ids"].shape == (frames,)
+    assert tgt["phone_ids"].dtype == np.int32
+    # real CTC argmax over a random model: ids land in-vocab
+    assert tgt["phone_ids"].min() >= 0
+    assert tgt["phone_ids"].max() < len(vocab)
+
+
 def test_webui_gated():
     import pytest as _pytest
 
