@@ -9,13 +9,13 @@ vs_baseline is relative to the driver target of 200x real time per chip
 (BASELINE.md; the reference publishes no numbers of its own).
 
 Extras carried in the same JSON object:
-  precision        matmul/conv policy (default "float32" — MEASURED fastest:
-                   XLA already lowers f32 convs to bf16 MXU multiplies on
-                   TPU, so the explicit-bf16 policy only adds cast traffic
-                   on this memory-bound model: 305.8x f32 vs 289.5x hybrid
-                   vs 276.9x bf16 at batch 16. FACODEC_BENCH_PRECISION
-                   overrides; the bf16 policy still pays off in training,
-                   see bench_train.py)
+  precision        matmul/conv policy (default "hybrid": f32 encode —
+                   codes bit-exact with the f32 path by construction — and
+                   bf16 decode. MEASURED at batch 16 after the snake/conv
+                   fixes: 415.0x f32, 447.9x hybrid, 458.5x full-bf16;
+                   before those fixes the model was transcendental-bound
+                   and the cast traffic made bf16 a LOSS, 305.8x f32 vs
+                   276.9x bf16. FACODEC_BENCH_PRECISION overrides)
   codes_match_f32_frac  fraction of codes identical to the f32 path at
                    flagship scale: 1.0 for "hybrid" (f32 encode by
                    construction), ~0.95 for full "bfloat16" (encoder
@@ -177,7 +177,7 @@ def _codes_match(models, params, prec, seconds=2.0):
 
 
 def main(batch: int = 16, seconds: float = 10.0):
-    prec = os.environ.get("FACODEC_BENCH_PRECISION", "float32")
+    prec = os.environ.get("FACODEC_BENCH_PRECISION", "hybrid")
     skip_extras = os.environ.get("FACODEC_BENCH_FAST", "") == "1"
 
     models, params = _build_models()

@@ -346,6 +346,12 @@ class SConv1d(_ConvBase):
             extra = get_extra_padding_for_conv1d(
                 x.shape[1], k_eff, self.stride, padding_total
             )
+            # NOTE: a "zero-pad inside the conv + fix up the H leading
+            # outputs with dynamic_update_slice" fast path was tried here to
+            # kill the pad concatenate copies; it MEASURED 4% slower end to
+            # end — the DUS boundary breaks XLA's conv->cast output fusion,
+            # adding explicit f32 materialization + convert_element_type at
+            # every site. The concatenate fuses better than it profiles.
             if self.causal:
                 x = pad1d(x, (padding_total, extra), mode=self.pad_mode)
             else:

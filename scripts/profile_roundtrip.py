@@ -29,12 +29,15 @@ from bench import SR, HOP, _build_models, _roundtrip_fn  # noqa: E402
 
 
 def main(batch=16, seconds=10.0):
+    import os
+
+    prec = os.environ.get("FACODEC_BENCH_PRECISION", "float32")
     models, params = _build_models()
     frames = int(seconds * SR) // HOP
     T = frames * HOP
     wave = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (batch, T), jnp.float32)
 
-    fn = jax.jit(_roundtrip_fn(models, "float32"))
+    fn = jax.jit(_roundtrip_fn(models, prec))
     # warmup / compile (cached from bench runs)
     float(fn(params, wave))
     float(fn(params, wave))
