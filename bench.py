@@ -89,9 +89,10 @@ def _build_models():
 def _roundtrip_fn(models, prec, with_codes=False):
     from facodec_tpu.ops.precision import policy
 
-    # "hybrid": f32 encode (bit-exact codes) + bf16 decode (~2/3 of FLOPs)
+    # "hybrid": f32 encode (bit-exact codes) + bf16-activations decode
+    # (~2/3 of FLOPs AND half the decode-side HBM traffic)
     enc_prec, dec_prec = (
-        ("float32", "bfloat16") if prec == "hybrid" else (prec, prec)
+        ("float32", "bfloat16_act") if prec == "hybrid" else (prec, prec)
     )
 
     def roundtrip(params, wave):
@@ -105,7 +106,7 @@ def _roundtrip_fn(models, prec, with_codes=False):
             recon = models["decoder"].apply({"params": params["decoder"]}, outs)
         if with_codes:
             return recon, codes
-        return jnp.sum(jnp.abs(recon))
+        return jnp.sum(jnp.abs(recon.astype(jnp.float32)))
 
     return roundtrip
 
@@ -219,7 +220,7 @@ def main(batch: int = 16, seconds: float = 10.0):
             r = rtf if b == batch else _timed_rtf(models, params, b, seconds, prec)[0]
             curve.append({"batch": b, "rtf": round(r, 2)})
         result["batch_curve"] = curve
-        for other in ("float32", "hybrid", "bfloat16"):
+        for other in ("float32", "hybrid", "bfloat16_act"):
             if other != prec:
                 r, _ = _timed_rtf(models, params, batch, seconds, other)
                 result[f"rtf_{other}"] = round(r, 2)

@@ -43,7 +43,11 @@ class ResidualUnit(nn.Module):
         from facodec_tpu.ops.fused import fused_enabled
         from facodec_tpu.ops.pallas.resunit import eligible
 
-        return fused_enabled() and eligible(self.dim, 7, x.shape[1])
+        return (
+            fused_enabled()
+            and x.dtype == jnp.float32  # kernel scratch/dots are f32
+            and eligible(self.dim, 7, x.shape[1])
+        )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, stream: StreamState = None, first: bool = False):

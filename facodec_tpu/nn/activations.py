@@ -49,9 +49,12 @@ def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """x + (alpha + 1e-9)^-1 * sin^2(alpha * x); alpha broadcasts over (B, T).
 
     The divide happens on the (1, 1, C) parameter, not the activation tensor
-    (XLA does not strength-reduce a broadcast divide on its own)."""
+    (XLA does not strength-reduce a broadcast divide on its own). Under the
+    bfloat16_act policy x arrives bf16: the math still runs in f32 registers
+    (alpha is f32, so the products promote) and only the RESULT is rounded
+    back — in-register casts are free, HBM traffic is halved."""
     recip = 1.0 / (alpha + 1e-9)
-    return x + sin2(alpha * x) * recip
+    return (x + sin2(alpha * x) * recip).astype(x.dtype)
 
 
 class Snake1d(nn.Module):
@@ -93,7 +96,7 @@ class SnakeBeta(nn.Module):
         if self.alpha_logscale:
             a = jnp.exp(a)
             b = jnp.exp(b)
-        return x + sin2(x * a) * (1.0 / (b + 1e-9))
+        return (x + sin2(x * a) * (1.0 / (b + 1e-9))).astype(x.dtype)
 
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:

@@ -31,7 +31,7 @@ import numpy as np
 from jax import lax
 
 from facodec_tpu.ops.padding import get_extra_padding_for_conv1d, pad1d
-from facodec_tpu.ops.precision import cast_operands
+from facodec_tpu.ops.precision import cast_operands, out_dtype
 
 Dtype = Any
 
@@ -114,14 +114,14 @@ def conv1d_ntc(
     ):
         if not exact:
             x, w = cast_operands(x, weight_oik[:, :, 0])
-            y = jnp.einsum("btc,oc->bto", x, w).astype(jnp.float32)
+            y = jnp.einsum("btc,oc->bto", x, w).astype(out_dtype())
         else:
             y = jnp.einsum(
                 "btc,oc->bto", x, weight_oik[:, :, 0],
                 precision=lax.Precision.HIGHEST,
             )
         if bias is not None:
-            y = y + bias[None, None, :]
+            y = y + bias[None, None, :].astype(y.dtype)
         return y
     kernel = jnp.transpose(weight_oik, (2, 1, 0))  # -> (K, I/g, O) == WIO
     if not exact:
@@ -134,9 +134,9 @@ def conv1d_ntc(
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-    ).astype(jnp.float32)
+    ).astype(jnp.float32 if exact else out_dtype())
     if bias is not None:
-        y = y + bias[None, None, :]
+        y = y + bias[None, None, :].astype(y.dtype)
     return y
 
 
@@ -176,9 +176,9 @@ def conv_transpose1d_ntc(
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-    ).astype(jnp.float32)
+    ).astype(out_dtype())
     if bias is not None:
-        y = y + bias[None, None, :]
+        y = y + bias[None, None, :].astype(y.dtype)
     return y
 
 

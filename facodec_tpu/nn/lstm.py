@@ -48,6 +48,10 @@ def lstm_layer(
     # Both matmuls follow the bf16 precision policy (f32 accumulation); the
     # (h, c) carry and the gate nonlinearities stay f32 so recurrent state
     # does not accumulate rounding across time steps.
+    # recurrent state is ALWAYS f32 (bf16 carries would accumulate rounding
+    # across time steps; under bfloat16_act the incoming h0/c0 may be bf16)
+    h0 = h0.astype(jnp.float32)
+    c0 = c0.astype(jnp.float32)
     x_proj = matmul(x, w_ih.T) + (b_ih + b_hh)  # (B, T, 4H)
     w_hh_t = cast_operands(w_hh.T)  # (H, 4H), cast once outside the scan
     hidden = w_hh.shape[1]

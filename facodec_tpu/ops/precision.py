@@ -40,7 +40,16 @@ _ALIASES = {
     "fp32": "float32",
     "bfloat16": "bfloat16",
     "bf16": "bfloat16",
+    # bf16 operands AND bf16 layer outputs: activations stay bfloat16
+    # between layers, halving the HBM traffic of every elementwise op in the
+    # chain (snake, residual adds, pads). Elementwise math still computes in
+    # f32 registers (see nn/activations.snake); matmul/conv accumulation is
+    # f32 as always. Decode-only use keeps codes bit-exact ("hybrid" bench).
+    "bfloat16_act": "bfloat16_act",
+    "bf16_act": "bfloat16_act",
 }
+
+_BF16 = ("bfloat16", "bfloat16_act")
 
 _POLICY = "float32"
 
@@ -79,7 +88,13 @@ def policy(name: Optional[str]):
 
 def compute_dtype():
     """The dtype matmul/conv operands are cast to under the current policy."""
-    return jnp.bfloat16 if _POLICY == "bfloat16" else jnp.float32
+    return jnp.bfloat16 if _POLICY in _BF16 else jnp.float32
+
+
+def out_dtype():
+    """The dtype conv/matmul layers RETURN: f32 except under bfloat16_act,
+    where activations stay bf16 between layers."""
+    return jnp.bfloat16 if _POLICY == "bfloat16_act" else jnp.float32
 
 
 def _castable(x) -> bool:
@@ -88,7 +103,7 @@ def _castable(x) -> bool:
 
 def cast_operands(*xs):
     """Cast float arrays to the policy compute dtype (no-op under float32)."""
-    if _POLICY == "float32":
+    if _POLICY not in _BF16:
         return xs if len(xs) != 1 else xs[0]
     out = tuple(x.astype(jnp.bfloat16) if _castable(x) else x for x in xs)
     return out if len(out) != 1 else out[0]

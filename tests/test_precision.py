@@ -67,6 +67,29 @@ def test_bf16_codes_bit_exact_and_recon_close(codec):
     assert np.max(d) / (np.max(np.abs(np.asarray(timbre32))) + 1e-9) < 5e-2
 
 
+def test_bf16_act_decoder_close_and_dtype(codec):
+    """bfloat16_act keeps activations bf16 BETWEEN layers (half the HBM
+    traffic of every elementwise op); decode-only use ('hybrid' bench) keeps
+    codes bit-exact trivially. Decoder output must stay close to f32."""
+    models, params = codec
+    wave = jnp.asarray(
+        0.3 * np.random.default_rng(9).standard_normal((2, 8 * 300)), jnp.float32
+    )
+    recon32, codes32, _ = _roundtrip(models, params, wave)
+
+    enc, qt, dec = models["encoder"], models["quantizer"], models["decoder"]
+    z = enc.apply({"params": params["encoder"]}, wave[:, :, None])
+    outs, *_ = qt.apply(
+        {"params": params["quantizer"]}, z, wave, n_c=2, return_codes=True
+    )
+    with precision.policy("bfloat16_act"):
+        recon16 = dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
+    assert recon16.dtype == jnp.bfloat16
+    err = np.max(np.abs(np.asarray(recon16, np.float32) - np.asarray(recon32)))
+    scale = np.max(np.abs(np.asarray(recon32))) + 1e-9
+    assert err / scale < 8e-2, (err, scale)
+
+
 def test_bf16_streaming_codes_match_oneshot(codec):
     """Chunked streaming under bf16 emits the same codes as one-shot bf16
     (the bf16 analogue of test_streaming.py's full-pipeline exactness)."""
