@@ -12,6 +12,7 @@ methodology (see bench.py)."""
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -43,7 +44,17 @@ def main(batch: int = 4, seg_frames: int = 80):
     params = init_params(models, jax.random.PRNGKey(0), seg_frames=8)
     optimizers = build_optimizers(models.keys(), base_lr=1e-4)
     opt_states = init_opt_states(optimizers, params)
-    step_fn = make_codec_train_step(models, optimizers)
+    # bf16 operands / f32 accumulation is the TPU-native training config
+    # (grad parity + finiteness covered by tests/test_precision.py and
+    # tests/test_grad_parity.py); FACODEC_TRAIN_PRECISION=float32 reverts.
+    # MEASURED on the tunneled single v5e: precision=bfloat16 RESOURCE_-
+    # EXHAUSTs at flagship scale, with and without remat — XLA keeps the f32
+    # residuals and their bf16 casts for the GAN backward. f32 (216.4 ms) is
+    # the reliable single-chip config; the knobs remain for multi-chip runs
+    # where dp sharding cuts per-chip activation memory.
+    prec = os.environ.get("FACODEC_TRAIN_PRECISION", "float32")
+    remat = os.environ.get("FACODEC_TRAIN_REMAT", "0") == "1"
+    step_fn = make_codec_train_step(models, optimizers, precision=prec, remat=remat)
 
     tw = seg_frames * HOP
     rng = np.random.default_rng(0)
@@ -115,6 +126,8 @@ def main(batch: int = 4, seg_frames: int = 80):
         "metric": "train_step_ms",
         "value": round(dt * 1e3, 1),
         "unit": "ms",
+        "precision": prec,
+        "remat": remat,
         "batch": batch,
         "seg_frames": seg_frames,
         "audio_s_per_s": round(audio_per_step / dt, 2),
