@@ -17,6 +17,7 @@ Only used by tests — the framework itself never imports the reference.
 
 from __future__ import annotations
 
+import importlib.machinery
 import math
 import sys
 import types
@@ -24,8 +25,19 @@ import types
 import torch
 
 
+def _module(name: str) -> types.ModuleType:
+    """A stub module WITH a ModuleSpec: third-party code probing for
+    optional deps via `importlib.util.find_spec` (e.g. transformers'
+    import_utils) raises `ValueError: <name>.__spec__ is None` on a bare
+    ModuleType — which broke any test importing transformers after the
+    stubs were installed by another test module's collection."""
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return m
+
+
 def _install_audiotools():
-    at = types.ModuleType("audiotools")
+    at = _module("audiotools")
 
     class AudioSignal:
         """Minimal stand-in reproducing audiotools.AudioSignal.stft semantics
@@ -176,7 +188,7 @@ def _install_audiotools():
             self.window_type = window_type
             self.padding_type = padding_type
 
-    ml = types.ModuleType("audiotools.ml")
+    ml = _module("audiotools.ml")
 
     class BaseModel(torch.nn.Module):
         INTERN = []
@@ -195,7 +207,7 @@ def _install_audiotools():
 
 
 def _install_argbind():
-    ab = types.ModuleType("argbind")
+    ab = _module("argbind")
 
     def bind(*a, **k):
         if len(a) == 1 and callable(a[0]) and not k:
@@ -261,9 +273,9 @@ class _MelSpectrogram(torch.nn.Module):
 
 
 def _install_torchaudio():
-    ta = types.ModuleType("torchaudio")
-    transforms = types.ModuleType("torchaudio.transforms")
-    functional = types.ModuleType("torchaudio.functional")
+    ta = _module("torchaudio")
+    transforms = _module("torchaudio.transforms")
+    functional = _module("torchaudio.functional")
     transforms.MelSpectrogram = _MelSpectrogram
 
     def resample(x, orig_freq, new_freq):  # pragma: no cover
@@ -278,7 +290,7 @@ def _install_torchaudio():
 
 
 def _install_munch():
-    mu = types.ModuleType("munch")
+    mu = _module("munch")
 
     class Munch(dict):
         def __getattr__(self, k):
