@@ -23,12 +23,13 @@ need no overlapping reads; the host pre-pads the sequence exactly like
 SConv1d would (snake commutes with reflect/zero padding: it is elementwise
 and snake(0)=0, so padding x first is exact).
 
-MEASURED (v5e, (16, 240000, 64), dilation 1): 24.8 ms vs 19-20 ms for the
-XLA composition after the pointwise-conv einsum fix in nn/conv.py — the
-narrow channel count leaves the MXU at K=N=64 (quarter tile) and the
-dilated-slice relayouts eat the traffic savings, so the XLA path remains
-the DEFAULT (ops/fused.py gate off). Kept as an alternative backend and as
-the substrate for a lane-folded (time-major space-to-depth) variant.
+MEASURED (v5e, dilation 1, batch 16) vs the XLA composition after the
+pointwise-conv einsum fix in nn/conv.py: 24.8 vs 19-20 ms at (240000, 64);
+32.2 vs 29.5 ms at (120000, 192); 12.8 vs 9.2 ms at (24000, 384) — the
+narrow channels leave the MXU at fractional tiles and the dilated-slice
+relayouts eat the traffic savings at every codec width, so the XLA path
+remains the DEFAULT (ops/fused.py gate off). Kept as an alternative backend
+and as the substrate for a lane-folded (time-major space-to-depth) variant.
 
 Gradients: custom_vjp whose backward is `jax.vjp` of the reference XLA
 composition — identical math, recompute-based, so the kernel is usable
