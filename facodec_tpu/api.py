@@ -160,17 +160,20 @@ class FACodec:
         w = self._prep(wave)
         B, T = w.shape
         n_frames = T // HOP
-        twin = min(T, max(HOP, int(timbre_seconds * SR) // HOP * HOP))
-        _, _, timbre = self._enc(self.params, w[:, :twin])
-
-        if n_frames < 2 * chunk_frames:  # short input: one-shot is cheaper
-            return self.encode(wave)
-
         sess = StreamingFACodec(
             self.models["encoder"], self.models["quantizer"],
             self.models["decoder"], self.params, chunk_frames=chunk_frames,
             n_c=self.n_c,
         )
+        # One-shot fallback when the session could never prime (it needs
+        # prime_frames of input before the first emission — with small
+        # chunk_frames that exceeds 2*chunk_frames) or when the input is
+        # short enough that one-shot is simply cheaper.
+        if n_frames < max(2 * chunk_frames, sess.prime_frames + 1):
+            return self.encode(wave)
+
+        twin = min(T, max(HOP, int(timbre_seconds * SR) // HOP * HOP))
+        _, _, timbre = self._enc(self.params, w[:, :twin])
         est = sess.init_encode_state(B)
         step = chunk_frames * HOP
         parts: List[Any] = []
@@ -343,6 +346,45 @@ class FARedecoder:
             use_p_code, n_c,
         )
         out = np.asarray(wave)
+        if codes.original_length:
+            out = out[:, : codes.original_length]
+        return out
+
+    def resynthesize_streaming(
+        self,
+        codes: FACodecFile,
+        target_timbre: np.ndarray,
+        chunk_frames: int = 16,
+        use_p_code: bool = False,
+        n_c: int = 1,
+    ) -> np.ndarray:
+        """Chunked real-time VC through the redecoder (exact — identical to
+        `resynthesize`; causal configs only). Bounded memory for arbitrarily
+        long sources: one compiled chunk step + O(chunk) activations.
+
+        The reference's real-time-VC story runs exactly this path one-shot
+        (reconstruct_redecoder.py:94-128); here it streams."""
+        from facodec_tpu.models.streaming import StreamingRedecoder
+
+        sess = StreamingRedecoder(
+            self.models["encoder"], self.models["decoder"], self.params,
+            chunk_frames=chunk_frames, use_p_code=use_p_code, n_c=n_c,
+        )
+        cp = jnp.asarray(codes.codes_p.astype(np.int32))
+        cc = jnp.asarray(codes.codes_c.astype(np.int32))
+        timbre = jnp.asarray(np.asarray(target_timbre, np.float32))
+        T = cp.shape[-1]
+        if T < sess.prime_frames:  # too short to prime: one-shot
+            return self.resynthesize(codes, target_timbre,
+                                     use_p_code=use_p_code, n_c=n_c)
+        state = sess.init_state(cp.shape[0])
+        parts = []
+        for i in range(0, T, chunk_frames):
+            sl = slice(i, i + chunk_frames)
+            state, wave = sess.vc_chunk(state, cp[..., sl], cc[..., sl], timbre)
+            if wave is not None:
+                parts.append(np.asarray(wave))
+        out = np.concatenate(parts, axis=1)
         if codes.original_length:
             out = out[:, : codes.original_length]
         return out

@@ -44,7 +44,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from facodec_tpu.models.dac import decoder_stream_state, encoder_stream_state
+from facodec_tpu.models.dac import (
+    decoder_stream_state,
+    encoder_stream_state,
+    min_first_chunk_frames,
+)
 from facodec_tpu.models.wavenet import wn_stream_state
 from facodec_tpu.ops.spectral import hann_window, mel_filterbank
 
@@ -58,18 +62,15 @@ TAIL = WIN - HOP  # 900: carried wave samples
 def min_prime_frames_encoder(strides: Tuple[int, ...]) -> int:
     """Smallest first-step length (latent frames) for exact encoder-side
     streaming: every reflect-pad (conv left pad at its stage's rate, mel
-    front context) must be coverable by the first chunk itself."""
+    front context) must be coverable by the first chunk itself.
+
+    The conv-span arithmetic is shared with `models.dac.min_first_chunk_frames`
+    (single source of truth); the quantizer's mel front adds its own CTX+1
+    wave samples of reflect context on top."""
     hop = 1
     for st in strides:
         hop *= st
-    worst = 7  # block_0 k=7 on the wave
-    rate = 1
-    for st in strides:
-        worst = max(worst, 55 * rate)  # dilation-9 resunit k_eff=55 at stage input
-        rate *= st
-    worst = max(worst, 3 * hop)  # final conv k=3 at frame rate
-    worst = max(worst, CTX + 1)  # mel front reflect needs 601 wave samples
-    return math.ceil(worst / hop)
+    return max(min_first_chunk_frames(strides), math.ceil((CTX + 1) / hop))
 
 
 def min_first_frames_decoder(rates: Tuple[int, ...]) -> int:
@@ -230,7 +231,7 @@ class StreamingFACodec:
         if not state.primed:
             raise ValueError(
                 f"stream shorter than prime_frames={self.prime_frames} frames "
-                "({self.prime_frames * HOP} samples); use the one-shot forward"
+                f"({self.prime_frames * HOP} samples); use the one-shot forward"
             )
         return self._flush(self.params, timbre, state.core)
 
@@ -311,6 +312,96 @@ class StreamingFACodec:
             for j in range(len(code_parts[0]))
         ]
         return recon, codes
+
+
+@dataclass
+class StreamingRedecoder:
+    """Chunked real-time voice conversion through the REDECODER path — the
+    reference's actual VC resynthesis route (reconstruct_redecoder.py:94-128:
+    source codes -> Redecoder WN-16 conditioned on target timbre -> DAC
+    decoder), streamed exactly.
+
+    Code-embedding lookup and conv_out are frame-local; the WN carries each
+    in_layer's conv left context (models/wavenet.py:98); the decoder carries
+    its usual streaming state. Causal configs only (`decoder_causal: True` —
+    the reference's flagship redecoder config is non-causal and can only be
+    windowed-recomputed; real-time VC requires the causal variant, exactly as
+    the codec's real-time claim does, reference README.md:105-107).
+
+    Exactness: chunked output == one-shot `Redecoder.__call__` + decoder
+    (tests/test_streaming.py::test_streaming_redecoder_vc_exact). The FIRST
+    chunk must cover every left reflect-pad span: the WN's k=5 and the
+    decoder's deepest dilated resunit (min_first_frames_decoder) — smaller
+    steady-state chunks are primed host-side, like StreamingFACodec."""
+
+    redecoder: Any
+    decoder: Any
+    params: Dict[str, Any]  # {"encoder": <redecoder>, "decoder": ...}
+    chunk_frames: int = 16
+    use_p_code: bool = False
+    n_c: int = 1
+
+    def __post_init__(self):
+        assert self.redecoder.causal and self.decoder.causal, (
+            "streaming VC requires the causal redecoder config "
+            "(decoder_causal: True); non-causal models need future context"
+        )
+        C = self.chunk_frames
+        assert C >= 1
+        need = max(5, min_first_frames_decoder(self.decoder.rates))
+        self.prime_frames = math.ceil(need / C) * C
+        red, dec = self.redecoder, self.decoder
+
+        def step(params, p_code, c_code, timbre, state, first: bool):
+            wn_s, dec_s = state
+            z, wn_s = red.apply(
+                {"params": params["encoder"]}, p_code, c_code, timbre,
+                use_p_code=self.use_p_code, n_c=self.n_c,
+                stream=wn_s, first=first,
+            )
+            wave, dec_s = dec.apply(
+                {"params": params["decoder"]}, z, dec_s, first=first
+            )
+            return wave[:, :, 0], (wn_s, dec_s)
+
+        self._first = jax.jit(lambda p, a, b, t, s: step(p, a, b, t, s, True))
+        self._step = jax.jit(lambda p, a, b, t, s: step(p, a, b, t, s, False))
+
+    def init_state(self, batch: int) -> "RedecoderState":
+        from facodec_tpu.models.redecoder import redecoder_stream_state
+
+        core = (
+            redecoder_stream_state(self.redecoder, batch),
+            decoder_stream_state(self.decoder, batch),
+        )
+        return RedecoderState(core=core)
+
+    def vc_chunk(self, state: "RedecoderState", p_code: jnp.ndarray,
+                 c_code: jnp.ndarray, timbre: jnp.ndarray):
+        """p_code (B, n_p, chunk_frames), c_code (B, n_c, chunk_frames) int;
+        timbre (B, 1024) — the TARGET speaker's vector. Returns
+        (state, wave_chunk (B, chunk_frames*300) or None while priming)."""
+        if not state.primed:
+            pending = state.pending + ((p_code, c_code),)
+            n = state.n_pending + p_code.shape[-1]
+            if n < self.prime_frames:
+                return replace(state, pending=pending, n_pending=n), None
+            ps = jnp.concatenate([p for p, _ in pending], axis=-1)
+            cs = jnp.concatenate([c for _, c in pending], axis=-1)
+            wave, core = self._first(self.params, ps, cs, timbre, state.core)
+            return RedecoderState(core=core, primed=True), wave
+        wave, core = self._step(self.params, p_code, c_code, timbre, state.core)
+        return RedecoderState(core=core, primed=True), wave
+
+
+@dataclass(frozen=True)
+class RedecoderState:
+    """Streaming-VC session state: (wn carries, decoder carries) + priming."""
+
+    core: Tuple
+    pending: Tuple = ()
+    n_pending: int = 0
+    primed: bool = False
 
 
 def _quantizer_wn(quantizer) -> Any:

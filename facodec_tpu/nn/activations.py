@@ -17,15 +17,22 @@ import jax.numpy as jnp
 # ops/element, which made snake the single largest time sink in the codec
 # round trip (9.2 ms per application at (16, 240000, 64); see
 # scripts/bench_conv_fusion.py). Snake only needs sin^2, so the sign of the
-# reduced argument is irrelevant: reduce mod pi (2-constant Cody-Waite,
-# exact for the |alpha*x| <~ 1e4 range of real activations) and evaluate an
-# odd degree-13 minimax polynomial -> ~11 ops/element. Max abs error vs f64
-# is IDENTICAL to f32 jnp.sin squared at every tested scale (2.5e-7 at |x|<3,
-# dominated by f32 argument rounding beyond that) — validated in
-# tests/test_primitives.py::test_fast_sin2_accuracy.
+# reduced argument is irrelevant: reduce mod pi (3-constant Cody-Waite) and
+# evaluate an odd degree-13 minimax polynomial -> ~14 ops/element. Max abs
+# error vs f64 matches f32 jnp.sin squared through |x| <= 2.5e4 (k*_PI_A
+# exact for k < 2^13; 2.5e-7 at |x|<3, dominated by f32 argument rounding
+# beyond that, ~6e-7 at the 3e4 clamp boundary) — validated in
+# tests/test_primitives.py::test_fast_sin2_accuracy. Beyond |x| = _SIN2_RANGE
+# the argument is CLAMPED: snake inputs are unbounded during training, and
+# without the clamp a diverged alpha*x (>~1e6) would silently produce wrong
+# reductions (k*PI_A rounding) or inf-k NaNs; clamped, the output stays
+# bounded and finite (sin^2 of a diverged activation is arbitrary in [0,1]
+# either way — the clamp makes the failure graceful, not silent garbage).
 
-_PI_HI = 3.140625  # exact in binary32
-_PI_LO = 9.67653589793e-4  # pi - _PI_HI
+_PI_A = 3.140625  # 11 significand bits: k*_PI_A exact for k < 2^13
+_PI_B = 9.6750259399414062e-4  # next 12 bits of pi
+_PI_C = 1.5099580252808664e-07  # remainder (f32)
+_SIN2_RANGE = 3.0e4  # validated f32-sin-accuracy range of the reduction
 _SIN_COEFFS = (  # fdlibm __kernel_sin minimax, f32-truncated
     -1.6666667163e-01, 8.3333337680e-03, -1.9841270114e-04,
     2.7557314297e-06, -2.5050759689e-08, 1.5896910177e-10,
@@ -33,10 +40,12 @@ _SIN_COEFFS = (  # fdlibm __kernel_sin minimax, f32-truncated
 
 
 def sin2(x: jnp.ndarray) -> jnp.ndarray:
-    """sin(x)^2 at f32-sin accuracy in ~11 elementwise ops (vs ~140 for
-    XLA's exactly-range-reduced sin)."""
+    """sin(x)^2 at f32-sin accuracy for |x| <= 2.5e4 in ~14 elementwise ops
+    (vs ~140 for XLA's exactly-range-reduced sin); clamped (bounded, finite,
+    approximate) beyond |x| = 3e4."""
+    x = jnp.clip(x, -_SIN2_RANGE, _SIN2_RANGE)
     k = jnp.round(x * (1.0 / jnp.pi))
-    t = (x - k * _PI_HI) - k * _PI_LO  # in [-pi/2, pi/2], sign-ambiguous mod pi
+    t = ((x - k * _PI_A) - k * _PI_B) - k * _PI_C  # [-pi/2, pi/2] mod pi
     t2 = t * t
     p = _SIN_COEFFS[-1]
     for c in _SIN_COEFFS[-2::-1]:

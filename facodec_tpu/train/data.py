@@ -186,8 +186,14 @@ def collate(
     max_T = max(len(d["wave"]) for d in items)
     max_F = max(d["mel"].shape[0] for d in items)
     if bucket_frames:
-        max_F = (max_F + bucket_frames - 1) // bucket_frames * bucket_frames
-        max_T = max(max_T, max_F * HOP)
+        # bucket the FRAME count (covering both the longest mel and the
+        # longest wave rounded up to a hop multiple), then derive max_T from
+        # it — keeps waves.shape[1] == mels.shape[1]*HOP even when the raw
+        # longest wave exceeds max_F*HOP by a sub-hop remainder, and keeps
+        # the padded-shape set tiny (no raw lengths leak into jit signatures)
+        frames = max(-(-max_T // HOP), max_F)
+        max_F = -(-frames // bucket_frames) * bucket_frames
+        max_T = max_F * HOP
     n_mels = items[0]["mel"].shape[1]
 
     waves = np.zeros((B, max_T), np.float32)

@@ -123,7 +123,7 @@ def test_fast_sin2_accuracy():
     from facodec_tpu.nn.activations import sin2
 
     rng = np.random.RandomState(0)
-    for scale in (3.0, 30.0, 300.0, 3000.0):
+    for scale in (3.0, 30.0, 300.0, 3000.0, 2.5e4):
         x = rng.uniform(-scale, scale, 100000).astype(np.float32)
         ref64 = np.sin(x.astype(np.float64)) ** 2
         got = np.asarray(sin2(jnp.asarray(x)))
@@ -131,6 +131,19 @@ def test_fast_sin2_accuracy():
         err_fast = np.abs(got - ref64).max()
         err_exact = np.abs(exact32 - ref64).max()
         assert err_fast <= max(2 * err_exact, 3e-7), (scale, err_fast, err_exact)
+
+
+def test_fast_sin2_out_of_range_graceful():
+    """Beyond the validated reduction range the argument is clamped: the
+    output must stay finite and in [0, 1] even at f32-max-scale inputs
+    (a diverged alpha would otherwise produce inf*k NaNs)."""
+    from facodec_tpu.nn.activations import sin2
+
+    x = np.array([-3.4e38, -1e9, -1e6, 1e6, 1e9, 3.4e38, np.float32(3e4)],
+                 np.float32)
+    got = np.asarray(sin2(jnp.asarray(x)))
+    assert np.all(np.isfinite(got))
+    assert np.all(got >= 0.0) and np.all(got <= 1.0 + 1e-6)
 
 
 def test_mish_matches_torch():
