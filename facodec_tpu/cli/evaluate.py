@@ -9,6 +9,7 @@ Metrics per utterance and aggregate:
   snr_db        waveform SNR of the reconstruction
   si_sdr_db     scale-invariant SDR (ops/metrics.py)
   stoi          short-time objective intelligibility [0..1]
+  mcd_db        mel-cepstral distortion (frame-aligned, 13 cepstra)
   code_usage    fraction of each stream's codebook used (collapse detector)
 
 Disentanglement scorecard (--probe-disentangle): prosody-only and
@@ -35,8 +36,8 @@ def evaluate_utterance(codec, wave: np.ndarray, probe_disentangle: bool = True):
     import jax.numpy as jnp
 
     from facodec_tpu.losses import mel_spectrogram_loss, multi_scale_stft_loss
-    from facodec_tpu.ops.metrics import (f0_autocorr, f0_correlation, si_sdr,
-                                         stoi)
+    from facodec_tpu.ops.metrics import (f0_autocorr, f0_correlation, mcd,
+                                         si_sdr, stoi)
 
     f = codec.encode(wave)
     recon = codec.decode(f)[0]
@@ -56,7 +57,7 @@ def evaluate_utterance(codec, wave: np.ndarray, probe_disentangle: bool = True):
     out = dict(
         mel_l1=mel_l1, stft_l1=stft_l1, snr_db=float(snr),
         si_sdr_db=si_sdr(recon, ref), stoi=stoi(recon, ref, 24000),
-        code_usage=usage,
+        mcd_db=mcd(recon, ref), code_usage=usage,
     )
     if probe_disentangle:
         f0_src = f0_autocorr(ref)
@@ -71,7 +72,7 @@ def evaluate_utterance(codec, wave: np.ndarray, probe_disentangle: bool = True):
     return out
 
 
-AGG_KEYS = ("mel_l1", "stft_l1", "snr_db", "si_sdr_db", "stoi",
+AGG_KEYS = ("mel_l1", "stft_l1", "snr_db", "si_sdr_db", "stoi", "mcd_db",
             "f0_corr_prosody", "f0_corr_content")
 
 

@@ -85,13 +85,40 @@ def _w2v_fn(name: str = ""):
         return None
 
 
-def _titanet_fn():
-    try:  # pragma: no cover - NeMo rarely available
-        import nemo.collections.asr as nemo_asr  # type: ignore
+def _titanet_fn(model_path: str = ""):
+    """Speaker teacher: 20000-way speaker-logits argmax over the 16 kHz wave
+    (reference train.py:99-101, 340-344 runs NVIDIA TitaNet live via NeMo).
 
-        model = nemo_asr.models.EncDecSpeakerLabelModel.from_pretrained(
-            "nvidia/speakerverification_en_titanet_large"
-        ).eval()
+    `model_path` selects the backend:
+      * "" — NeMo pretrained download (the reference's exact teacher);
+      * a `.nemo` checkpoint — NeMo restore_from (offline NeMo weights);
+      * any other existing file — a TorchScript module mapping a 16 kHz wave
+        (1, T) float tensor -> (1, n_speakers) logits. This keeps the REAL
+        branch (resample, torch inference, argmax) exercisable in zero-egress
+        / NeMo-less environments — tests/test_api_cli.py scripts a tiny
+        stand-in producing 20000-way logits and drives this exact code."""
+    try:
+        import torch
+
+        if model_path and os.path.isfile(model_path) and not model_path.endswith(".nemo"):
+            scripted = torch.jit.load(model_path).eval()
+
+            def infer(w16: "torch.Tensor") -> "torch.Tensor":
+                with torch.no_grad():
+                    return scripted(w16[None])
+        else:  # pragma: no cover - NeMo rarely available
+            import nemo.collections.asr as nemo_asr  # type: ignore
+
+            model = (
+                nemo_asr.models.EncDecSpeakerLabelModel.restore_from(model_path)
+                if model_path else
+                nemo_asr.models.EncDecSpeakerLabelModel.from_pretrained(
+                    "nvidia/speakerverification_en_titanet_large")
+            ).eval()
+
+            def infer(w16: "torch.Tensor") -> "torch.Tensor":
+                _, logits = model.infer_segment(w16)
+                return logits
 
         def run(wave24k: np.ndarray) -> int:
             import torch
@@ -100,8 +127,7 @@ def _titanet_fn():
                               endpoint=False)
             t24 = np.arange(len(wave24k)) / 24000
             w16 = torch.from_numpy(np.interp(t16, t24, wave24k).astype(np.float32))
-            _, logits = model.infer_segment(w16)
-            return int(logits.argmax(-1))
+            return int(torch.as_tensor(infer(w16)).reshape(-1).argmax())
 
         return run
     except Exception as e:
@@ -127,6 +153,11 @@ def main(argv=None) -> int:
                    help="wav2vec2 CTC model: HF hub id or local "
                         "save_pretrained directory (default: the reference's "
                         "facebook/wav2vec2-xlsr-53-espeak-cv-ft)")
+    p.add_argument("--titanet-model", type=str,
+                   default=os.environ.get("FACODEC_TITANET_MODEL", ""),
+                   help="speaker teacher: empty = NeMo pretrained TitaNet "
+                        "download, a .nemo checkpoint, or a TorchScript file "
+                        "(wave16k (1,T) -> (1, n_spk) logits) for offline use")
     p.add_argument("--allow-missing", type=str, default="",
                    help="teachers allowed to be unavailable: jdc/w2v fill "
                         "zeros, titanet falls back to the manifest sid. "
@@ -145,7 +176,7 @@ def main(argv=None) -> int:
 
     jdc = _jdc_fn(args.jdc_ckpt) if "jdc" in requested else None
     w2v = _w2v_fn(args.w2v_model) if "w2v" in requested else None
-    titanet = _titanet_fn() if "titanet" in requested else None
+    titanet = _titanet_fn(args.titanet_model) if "titanet" in requested else None
 
     # hard gate: a requested-but-unavailable teacher aborts unless the user
     # explicitly allowed it (reference runs all three live, train.py:91-101)

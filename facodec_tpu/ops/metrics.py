@@ -129,6 +129,49 @@ def stoi(est: np.ndarray, ref: np.ndarray, sample_rate: int) -> float:
     return float(np.mean(d))
 
 
+# ----------------------------------------------------------------------- MCD
+
+
+def mcd(est: np.ndarray, ref: np.ndarray, n_mcc: int = 13,
+        floor_db: float = 60.0) -> float:
+    """Mel-cepstral distortion in dB (lower = closer), the standard VC/codec
+    spectral-fidelity number: (10/ln10)·sqrt(2·Σ_d (c_d^est − c_d^ref)²)
+    averaged over frames, where c_1..c_n_mcc are DCT-II cepstra of the
+    natural-log mel spectrogram (c0/energy excluded). Frames are
+    time-aligned (no DTW) — a codec reconstruction is synchronous with its
+    input. Uses the training mel front-end (train/data.compute_mel), so the
+    number is directly comparable to the mel_l1 training objective; replaces
+    the reference's bit-rotted eval.py (SURVEY.md §2.3). Returns nan for
+    sub-frame inputs."""
+    from facodec_tpu.train.data import MelConfig, compute_mel
+
+    cfg = MelConfig()
+    T = min(len(est), len(ref))
+    me = compute_mel(np.asarray(est[:T], np.float64).astype(np.float32), cfg)
+    mr = compute_mel(np.asarray(ref[:T], np.float64).astype(np.float32), cfg)
+    n = min(len(me), len(mr))
+    if n == 0:
+        return float("nan")
+    # undo the training normalization and halve: the front-end is log-POWER,
+    # MCD convention is log-MAGNITUDE cepstra (the affine offset cancels in
+    # the difference; the scale must not)
+    ln_e = 0.5 * me[:n] * cfg.mel_std
+    ln_r = 0.5 * mr[:n] * cfg.mel_std
+    # shared peak-relative dynamic-range floor: without it, near-silent mel
+    # bins (log of the 1e-5 absolute floor) dominate the cepstral distance
+    # with hundreds of meaningless dB whenever one signal has any noise floor
+    floor = max(ln_e.max(), ln_r.max()) - floor_db * np.log(10.0) / 20.0
+    ln_e = np.maximum(ln_e, floor)
+    ln_r = np.maximum(ln_r, floor)
+    N = ln_e.shape[1]
+    k = np.arange(1, n_mcc + 1)[:, None]
+    dct = np.sqrt(2.0 / N) * np.cos(np.pi * k * (np.arange(N)[None, :] + 0.5) / N)
+    diff = (ln_e - ln_r) @ dct.T  # (frames, n_mcc)
+    per_frame = (10.0 / np.log(10.0)) * np.sqrt(
+        2.0 * np.sum(diff * diff, axis=1))
+    return float(np.mean(per_frame))
+
+
 # ---------------------------------------------------------------- F0 probes
 
 

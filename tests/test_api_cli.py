@@ -180,6 +180,7 @@ def test_evaluate_cli(tmp_path):
     utt = data["utterances"][0]
     assert np.isfinite(utt["si_sdr_db"])
     assert "stoi" in utt and "f0_corr_prosody" in utt and "f0_corr_content" in utt
+    assert np.isfinite(utt["mcd_db"]) and utt["mcd_db"] > 0.0
 
 
 def test_extract_targets_hard_fails_without_teachers(tmp_path):
@@ -274,6 +275,53 @@ def test_extract_targets_real_w2v_path(tmp_path):
     # real CTC argmax over a random model: ids land in-vocab
     assert tgt["phone_ids"].min() >= 0
     assert tgt["phone_ids"].max() < len(vocab)
+
+
+def test_extract_targets_real_titanet_path(tmp_path):
+    """Drive the REAL speaker-teacher branch (24k->16k resample, torch
+    speaker-logits inference, 20000-way argmax — reference train.py:99-101,
+    340-344) end-to-end against a scripted tiny stand-in saved locally, so
+    the branch is not dead code in NeMo-less / zero-egress environments."""
+    torch = pytest.importorskip("torch")
+
+    from scipy.io import wavfile
+
+    from facodec_tpu.cli.extract_targets import main as et_main
+
+    class TinySpeakerNet(torch.nn.Module):
+        """(1, T) 16 kHz wave -> (1, 20000) logits; length-agnostic."""
+
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(0)
+            self.proj = torch.nn.Linear(3, 20000)
+
+        def forward(self, w: torch.Tensor) -> torch.Tensor:
+            feats = torch.stack(
+                [w.mean(dim=1), w.std(dim=1), w.abs().mean(dim=1)], dim=1)
+            return self.proj(feats)
+
+    mpath = str(tmp_path / "spk_teacher.pt")
+    torch.jit.script(TinySpeakerNet()).save(mpath)
+
+    wav = str(tmp_path / "d.wav")
+    wavfile.write(wav, SR, (tone(0.5) * 32767).astype(np.int16))
+    manifest = str(tmp_path / "train.txt")
+    with open(manifest, "w") as f:
+        f.write(f"{wav}\t3\ten\ttext\tphones\n")
+    rc = et_main(["--manifest", manifest, "--teachers", "titanet",
+                  "--titanet-model", mpath])
+    assert rc == 0
+    tgt = np.load(wav + ".targets.npz")
+    spk = int(tgt["spk_label"])
+    assert 0 <= spk < 20000
+    # the label is the real argmax of the scripted model on the resampled wave
+    wave24 = tone(0.5)
+    t16 = np.linspace(0, len(wave24) / SR, int(len(wave24) * 2 / 3),
+                      endpoint=False)
+    w16 = np.interp(t16, np.arange(len(wave24)) / SR, wave24).astype(np.float32)
+    want = int(torch.jit.load(mpath)(torch.from_numpy(w16)[None]).argmax())
+    assert spk == want
 
 
 def test_webui_gated():

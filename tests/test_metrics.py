@@ -3,7 +3,8 @@
 
 import numpy as np
 
-from facodec_tpu.ops.metrics import f0_autocorr, f0_correlation, si_sdr, stoi
+from facodec_tpu.ops.metrics import (f0_autocorr, f0_correlation, mcd,
+                                     si_sdr, stoi)
 
 SR = 24000
 
@@ -43,6 +44,35 @@ def test_stoi_properties():
     assert perfect >= light > heavy
     assert heavy < 0.75
     assert np.isnan(stoi(np.zeros(1000), np.zeros(1000), SR))  # too short
+
+
+def test_mcd_properties():
+    """MCD: 0 for identical signals, monotone in spectral degradation, and
+    correctly scaled (a known smooth EQ tilt lands at its analytic few-dB
+    value — this pins the log-magnitude convention and the 10/ln10 factor)."""
+    ref = speechy()
+    assert mcd(ref, ref) < 1e-6
+    rng = np.random.default_rng(2)
+    light = mcd(ref + 0.01 * rng.standard_normal(len(ref)), ref)
+    heavy = mcd(ref + 0.2 * rng.standard_normal(len(ref)), ref)
+    assert 0.0 < light < heavy
+    assert np.isnan(mcd(np.zeros(10), np.zeros(10)))  # sub-frame input
+
+    # scaling check on broadband material (no silent bands): a +6 dB power
+    # shelf on the upper half of the spectrum is a smooth envelope change
+    # whose cepstral distance is analytically (10/ln10)*sqrt(2*sum d_k^2)
+    # ~= 4.34*sqrt(2 * 38 bins * (0.345 nats)^2) ~= 13 dB (+ transition
+    # ripple). Pins the log-magnitude convention: the log-power convention
+    # would double it, a missing sqrt(2) would shrink it by 1.41x.
+    from scipy.signal import butter, sosfilt
+
+    noise = rng.standard_normal(SR * 2).astype(np.float64)
+    sos_lo = butter(4, 3000, fs=SR, btype="low", output="sos")
+    sos_hi = butter(4, 3000, fs=SR, btype="high", output="sos")
+    lo, hi = sosfilt(sos_lo, noise), sosfilt(sos_hi, noise)
+    a, b = lo + hi, lo + 2.0 * hi  # +6 dB power above 3 kHz
+    val = mcd(b, a)
+    assert 9.0 < val < 22.0, val
 
 
 def test_f0_autocorr_tracks_pitch():
