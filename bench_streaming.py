@@ -110,7 +110,71 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
         "prime_ms": round(sess.prime_frames * HOP / SR * 1e3, 1),
         "rtf_interactive": round(chunk_ms / p50, 2),
         "rtf_device": round(chunk_ms / dev_ms, 2),
+        "redecoder_vc": bench_redecoder_vc(chunk_frames, batch),
     }))
+
+
+def bench_redecoder_vc(chunk_frames: int = 4, batch: int = 1) -> dict:
+    """Per-chunk latency of the streaming REDECODER VC path (source codes +
+    target timbre -> wave; reference reconstruct_redecoder.py:94-128) at
+    flagship width (WN-16 x 512ch conditioned on a 1024-d timbre + the full
+    DAC decoder). Causal variant — the streamable real-time-VC config."""
+    from facodec_tpu.models.builder import init_params
+    from facodec_tpu.models.dac import Decoder
+    from facodec_tpu.models.redecoder import Redecoder
+    from facodec_tpu.models.streaming import StreamingRedecoder
+
+    red = Redecoder(n_p_codebooks=1, n_c_codebooks=2, codebook_size=1024,
+                    embed_dim=512, n_layers=16, causal=True, p_dropout=0.2,
+                    gin_channels=1024, out_dim=1024)
+    dec = Decoder(**FLAGSHIP["decoder"])
+    params = init_params(dict(encoder=red, decoder=dec), jax.random.PRNGKey(0),
+                         seg_frames=max(chunk_frames, 12))
+
+    sess = StreamingRedecoder(red, dec, params, chunk_frames=chunk_frames,
+                              use_p_code=False, n_c=1)
+    state = sess.init_state(batch)
+    timbre = jnp.zeros((batch, 1024), jnp.float32)
+    rng = np.random.default_rng(0)
+
+    def chunk(i):
+        return (
+            jnp.asarray(rng.integers(0, 1024, (batch, 1, chunk_frames)), jnp.int32),
+            jnp.asarray(rng.integers(0, 1024, (batch, 2, chunk_frames)), jnp.int32),
+        )
+
+    lat = []
+    n_chunks = max(12, 2 * sess.prime_frames // chunk_frames)
+    for i in range(n_chunks):
+        cp, cc = chunk(i)
+        float(jnp.sum(cp))
+        t0 = time.perf_counter()
+        state, wave = sess.vc_chunk(state, cp, cc, timbre)
+        if wave is None:
+            continue
+        float(wave[0, -1])
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(lat[2:], 50)) * 1e3
+
+    # device-only: chained steps, force only the last output (amortizes RTT)
+    M = 16
+    cps = [chunk(100 + i) for i in range(M)]
+    ts = []
+    for _ in range(3):
+        s2 = state
+        t0 = time.perf_counter()
+        for cp, cc in cps:
+            s2, w = sess.vc_chunk(s2, cp, cc, timbre)
+        float(w[0, -1])
+        ts.append(time.perf_counter() - t0)
+    dev_ms = min(ts) / M * 1e3
+    chunk_ms = chunk_frames * HOP / SR * 1e3
+    return {
+        "p50_ms": round(p50, 2),
+        "device_only_ms": round(dev_ms, 2),
+        "rtf_device": round(chunk_ms / dev_ms, 2),
+        "prime_ms": round(sess.prime_frames * HOP / SR * 1e3, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -55,9 +55,15 @@ class Redecoder(nn.Module):
         use_c_code: bool = True,
         n_c: int = 2,
         train: bool = False,
-    ) -> jnp.ndarray:
+        stream=None,
+        first: bool = False,
+    ):
         """p_code: (B, n_p, T) int; c_code: (B, n_c, T) int;
-        timbre_vec: (B, 1024). Returns latent (B, T, 1024)."""
+        timbre_vec: (B, 1024). Returns latent (B, T, 1024).
+
+        Streaming (causal only): code-embedding lookup and conv_out are
+        frame-local; `stream` carries the WN in_layers' conv left contexts
+        (models/wavenet.py:98) — returns (latent, new_stream)."""
         B, _, T = p_code.shape
         x = jnp.zeros((B, T, self.embed_dim))
         if use_p_code:
@@ -67,5 +73,18 @@ class Redecoder(nn.Module):
             for i in range(n_c):
                 x = x + self.content_embed[i](c_code[:, i, :])
         mask = jnp.ones((B, T, 1), x.dtype)
-        x = self.encoder(x, mask, g=timbre_vec[:, None, :], train=train)
+        g = timbre_vec[:, None, :]
+        if stream is not None:
+            x, new_stream = self.encoder(x, mask, g=g, train=train,
+                                         stream=stream, first=first)
+            return self.conv_out(x), new_stream
+        x = self.encoder(x, mask, g=g, train=train)
         return self.conv_out(x)
+
+
+def redecoder_stream_state(red: Redecoder, batch: int) -> dict:
+    """Zero left-context carries for the redecoder's WN (k=5, dilation 1)."""
+    return {
+        f"in_layers_{i}": jnp.zeros((batch, 4, red.embed_dim))
+        for i in range(red.n_layers)
+    }
