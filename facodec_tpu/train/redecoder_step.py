@@ -62,7 +62,9 @@ def make_redecoder_train_step(
             {"params": gen_params["encoder"]}, codes[0], codes[1], timbre,
             train=True, rngs={"dropout": rng},
         )
-        return decoder.apply({"params": gen_params["decoder"]}, z)
+        # f32 at the loss boundary (FFT losses need f32; see train/step.py)
+        return decoder.apply(
+            {"params": gen_params["decoder"]}, z).astype(jnp.float32)
 
     def disc_loss_fn(disc_params, pred_wave, real_wave):
         d_fake = discriminator.apply({"params": disc_params}, pred_wave)

@@ -113,7 +113,13 @@ def make_codec_train_step(
             rngs={"dropout": r2},
         )
         pred_wave = decoder.apply({"params": gen_params["decoder"]}, outs)
-        return pred_wave, commit, cb, preds, rev_preds
+        # f32 at the loss/discriminator boundary: the FFT losses require f32
+        # input, and under bfloat16_act the memory win lives in the STORED
+        # INTERNAL activations, not this (B, T, 1) output / the tiny heads
+        f32 = lambda x: x.astype(jnp.float32) if (
+            x is not None and jnp.issubdtype(x.dtype, jnp.floating)) else x
+        return (f32(pred_wave), commit, cb,
+                jax.tree.map(f32, preds), jax.tree.map(f32, rev_preds))
 
     if remat:
         gen_forward = jax.checkpoint(gen_forward)
