@@ -45,7 +45,11 @@ class ResidualUnit(nn.Module):
 
         return (
             fused_enabled()
-            and x.dtype == jnp.float32  # kernel scratch/dots are f32
+            # f32 inputs and (under the bfloat16_act policy) bf16 inputs are
+            # both supported: the kernel keeps the residual in the input
+            # dtype and runs MXU operands in the backend's native precision
+            # (ops/pallas/resunit._mxu_dtype)
+            and x.dtype in (jnp.float32, jnp.bfloat16)
             and eligible(self.dim, 7, x.shape[1])
         )
 
