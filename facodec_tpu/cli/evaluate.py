@@ -76,6 +76,20 @@ AGG_KEYS = ("mel_l1", "stft_l1", "snr_db", "si_sdr_db", "stoi", "mcd_db",
             "f0_corr_prosody", "f0_corr_content")
 
 
+def jsonsafe(o):
+    """Map non-finite floats to None so emitted JSON is strict (json.dump
+    otherwise writes literal NaN/Infinity tokens, which non-Python parsers
+    reject). F0 correlations are legitimately NaN when an utterance has no
+    voiced frames in common (e.g. untrained weights)."""
+    if isinstance(o, float) and not np.isfinite(o):
+        return None
+    if isinstance(o, dict):
+        return {k: jsonsafe(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [jsonsafe(v) for v in o]
+    return o
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--manifest", type=str, required=True)
@@ -121,10 +135,11 @@ def main(argv=None) -> int:
         k: float(np.nanmean([r[k] for r in results]))
         for k in AGG_KEYS if k in results[0]
     }
-    print("aggregate:", json.dumps(agg))
+    print("aggregate:", json.dumps(jsonsafe(agg)))
     if args.json:
         with open(args.json, "w") as fh:
-            json.dump(dict(aggregate=agg, utterances=results), fh, indent=1)
+            json.dump(jsonsafe(dict(aggregate=agg, utterances=results)), fh,
+                      indent=1, allow_nan=False)
     return 0
 
 
