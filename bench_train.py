@@ -44,14 +44,13 @@ def main(batch: int = 4, seg_frames: int = 80):
     params = init_params(models, jax.random.PRNGKey(0), seg_frames=8)
     optimizers = build_optimizers(models.keys(), base_lr=1e-4)
     opt_states = init_opt_states(optimizers, params)
-    # bf16 operands / f32 accumulation is the TPU-native training config
-    # (grad parity + finiteness covered by tests/test_precision.py and
-    # tests/test_grad_parity.py); FACODEC_TRAIN_PRECISION=float32 reverts.
-    # MEASURED on the tunneled single v5e: precision=bfloat16 RESOURCE_-
-    # EXHAUSTs at flagship scale, with and without remat — XLA keeps the f32
-    # residuals and their bf16 casts for the GAN backward. f32 (216.4 ms) is
-    # the reliable single-chip config; the knobs remain for multi-chip runs
-    # where dp sharding cuts per-chip activation memory.
+    # FACODEC_TRAIN_PRECISION: float32 (default, reference-exact) |
+    # bfloat16 | bfloat16_act (bf16 activations, f32 loss boundary —
+    # loss-parity-tested in tests/test_precision.py). All precision x remat
+    # configs fit one v5e (scripts/memory_budget.py, AOT memory_analysis);
+    # measured round 3: 200.5 ms f32 / 191.7 ms bf16 — only ~4% apart
+    # because XLA's TPU default precision already runs 'f32' convs with
+    # bf16 operands (see BASELINE.md).
     prec = os.environ.get("FACODEC_TRAIN_PRECISION", "float32")
     remat = os.environ.get("FACODEC_TRAIN_REMAT", "0") == "1"
     step_fn = make_codec_train_step(models, optimizers, precision=prec, remat=remat)

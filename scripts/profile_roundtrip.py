@@ -10,9 +10,6 @@ Output: a table of {op name, total ms, %% of device time} + trace dir.
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import sys
 
 import jax
@@ -42,47 +39,15 @@ def main(batch=16, seconds=10.0):
     float(fn(params, wave))
     float(fn(params, wave))
 
-    logdir = "/tmp/facodec_prof"
-    jax.profiler.start_trace(logdir)
-    for _ in range(3):
-        out = fn(params, wave)
-    s = float(out)
-    jax.profiler.stop_trace()
-    print("traced, scalar:", s)
+    from facodec_tpu.utils.profiling import aggregate_device_trace, trace
 
-    # Parse the trace protobuf-JSON (trace.json.gz written by xprof)
-    files = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
-    if not files:
-        files = sorted(glob.glob(logdir + "/**/trace.json.gz", recursive=True))
-    print("trace files:", files)
-    if not files:
-        print("NO TRACE JSON — inspect", logdir)
-        return
-    with gzip.open(files[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    # Identify device-side process ids (TPU / device compute lanes)
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower() or "Device" in n}
-    print("processes:", pid_names)
-    agg = {}
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        if dev_pids and e.get("pid") not in dev_pids:
-            continue
-        name = e.get("name", "?")
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        agg[name] = agg.get(name, 0.0) + dur
-        total += dur
-    top = sorted(agg.items(), key=lambda kv: -kv[1])[:40]
-    print(f"\n== top ops by device time (total {total:.1f} ms across 3 iters) ==")
-    for name, ms in top:
-        print(f"{ms:9.2f} ms  {100*ms/max(total,1e-9):5.1f}%  {name[:110]}")
+    logdir = "/tmp/facodec_prof"
+    with trace(logdir):
+        for _ in range(3):
+            out = fn(params, wave)
+        s = float(out)
+    print("traced, scalar:", s)
+    aggregate_device_trace(logdir)
 
 
 if __name__ == "__main__":
