@@ -48,9 +48,9 @@ def main(batch: int = 4, seg_frames: int = 80):
     # bfloat16 | bfloat16_act (bf16 activations, f32 loss boundary —
     # loss-parity-tested in tests/test_precision.py). All precision x remat
     # configs fit one v5e (scripts/memory_budget.py, AOT memory_analysis);
-    # measured round 3: 200.5 ms f32 / 191.7 ms bf16 — only ~4% apart
-    # because XLA's TPU default precision already runs 'f32' convs with
-    # bf16 operands (see BASELINE.md).
+    # measured round 3: 164.8 ms f32 / 165.4 ms bf16 — equal because
+    # XLA's TPU default precision already runs 'f32' convs with bf16
+    # operands (see BASELINE.md).
     prec = os.environ.get("FACODEC_TRAIN_PRECISION", "float32")
     remat = os.environ.get("FACODEC_TRAIN_REMAT", "0") == "1"
     step_fn = make_codec_train_step(models, optimizers, precision=prec, remat=remat)
