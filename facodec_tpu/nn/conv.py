@@ -269,9 +269,9 @@ class Conv2d(_ConvBase):
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
             rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+        ).astype(out_dtype())
         if b is not None:
-            y = y + b[None, None, None, :]
+            y = y + b[None, None, None, :].astype(y.dtype)
         return y
 
 

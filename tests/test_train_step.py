@@ -197,3 +197,28 @@ def test_remat_step_matches(setup):
     a = np.asarray(jax.tree.leaves(s_a.params["encoder"])[0])
     b = np.asarray(jax.tree.leaves(s_b.params["encoder"])[0])
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
+
+
+def test_disc_paired_call_equals_two_calls():
+    """Phase D runs ONE discriminator pass over concat(fake, real) for
+    throughput (scripts/bench_disc.py: 11.2 ms at 2B vs 20.3 ms for two
+    B-calls). Guard the claim that justifies it: per-sample preprocess
+    (mean/peak norm), MPD reflect-pad, and the MRD STFT never mix batch
+    rows, so the split halves equal two separate calls."""
+    disc = Discriminator(rates=(), periods=(2, 3), fft_sizes=(512,),
+                         sample_rate=24000)
+    rng = np.random.default_rng(5)
+    fake = jnp.asarray(rng.standard_normal((2, 2400, 1)) * 0.3, jnp.float32)
+    real = jnp.asarray(rng.standard_normal((2, 2400, 1)) * 0.3, jnp.float32)
+    params = disc.init(jax.random.PRNGKey(0), fake)
+
+    both = disc.apply(params, jnp.concatenate([fake, real], axis=0))
+    d_fake = disc.apply(params, fake)
+    d_real = disc.apply(params, real)
+    B = fake.shape[0]
+    for fl_pair, fl_fake, fl_real in zip(both, d_fake, d_real):
+        for f_pair, f_fake, f_real in zip(fl_pair, fl_fake, fl_real):
+            np.testing.assert_allclose(
+                np.asarray(f_pair[:B]), np.asarray(f_fake), rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(f_pair[B:]), np.asarray(f_real), rtol=1e-6, atol=1e-6)
