@@ -15,6 +15,38 @@ import argparse
 import numpy as np
 
 
+def _prep_audio(audio) -> np.ndarray:
+    """Gradio (sample_rate, array) -> mono float32 in [-1, 1]. Integer PCM
+    is detected BEFORE any float cast (int16 is gradio's default type)."""
+    _, w = audio
+    w = np.asarray(w)
+    if w.dtype.kind in "iu":
+        w = w.astype(np.float32) / 32768.0
+    w = np.asarray(w, np.float32)
+    if w.ndim > 1:
+        w = w.mean(axis=-1)
+    return w
+
+
+def make_handlers(codec, redecoder=None, sr: int = 24000):
+    """The two tab callbacks, gradio-free so they are testable in
+    environments without gradio (reference webui.py:54-88 inlines them)."""
+
+    def do_reconstruct(audio):
+        out = codec.reconstruct(_prep_audio(audio))[0]
+        return (sr, (np.clip(out, -1, 1) * 32767).astype(np.int16))
+
+    def do_convert(source, target):
+        from facodec_tpu.api import convert_voice
+
+        out = convert_voice(
+            codec, redecoder, _prep_audio(source), _prep_audio(target)
+        )[0]
+        return (sr, (np.clip(out, -1, 1) * 32767).astype(np.int16))
+
+    return do_reconstruct, do_convert
+
+
 def build_interface(codec, redecoder=None, sr: int = 24000):
     try:
         import gradio as gr
@@ -24,28 +56,7 @@ def build_interface(codec, redecoder=None, sr: int = 24000):
             "python -m facodec_tpu reconstruct|convert"
         ) from e
 
-    def do_reconstruct(audio):
-        in_sr, wave = audio
-        wave = np.asarray(wave, np.float32)
-        if wave.dtype.kind == "i":
-            wave = wave / 32768.0
-        if wave.ndim > 1:
-            wave = wave.mean(axis=-1)
-        out = codec.reconstruct(wave)[0]
-        return (sr, (np.clip(out, -1, 1) * 32767).astype(np.int16))
-
-    def do_convert(source, target):
-        from facodec_tpu.api import convert_voice
-
-        def prep(audio):
-            _, w = audio
-            w = np.asarray(w, np.float32)
-            if w.dtype.kind == "i":
-                w = w / 32768.0
-            return w.mean(axis=-1) if w.ndim > 1 else w
-
-        out = convert_voice(codec, redecoder, prep(source), prep(target))[0]
-        return (sr, (np.clip(out, -1, 1) * 32767).astype(np.int16))
+    do_reconstruct, do_convert = make_handlers(codec, redecoder, sr)
 
     with gr.Blocks(title="FAcodec-TPU") as demo:
         with gr.Tab("Reconstruction"):

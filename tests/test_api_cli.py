@@ -333,6 +333,44 @@ def test_webui_gated():
         build_interface(codec=None)
 
 
+def test_webui_reconstruct_handler(codec):
+    """The tab callbacks are gradio-free (make_handlers) so they run here:
+    int16 stereo in -> int16 mono out, and integer PCM is detected BEFORE
+    the float cast (gradio delivers int16 by default — an int16 input must
+    match the equivalent float input, not arrive 32768x too loud)."""
+    from facodec_tpu.webui import _prep_audio, make_handlers
+
+    w = tone(0.5)
+    i16 = (w * 32767).astype(np.int16)
+    stereo = np.stack([i16, i16], axis=-1)
+    np.testing.assert_allclose(
+        _prep_audio((SR, stereo)), i16.astype(np.float32) / 32768.0, atol=1e-7
+    )
+
+    do_reconstruct, _ = make_handlers(codec, sr=SR)
+    sr_out, out = do_reconstruct((SR, i16))
+    assert sr_out == SR and out.dtype == np.int16
+    assert out.shape[0] == len(w) // HOP * HOP
+
+    _, out_f = do_reconstruct((SR, i16.astype(np.float32) / 32768.0))
+    np.testing.assert_array_equal(out, out_f)
+
+
+def test_webui_convert_handler():
+    from facodec_tpu.api import FACodec, FARedecoder
+    from facodec_tpu.webui import make_handlers
+
+    c = FACodec.from_config(TINY, n_c=1)
+    red = FARedecoder.from_config(TINY)
+    _, do_convert = make_handlers(c, red, sr=SR)
+    src, tgt = tone(0.5, 220.0, 1), tone(0.5, 330.0, 2)
+    sr_out, out = do_convert(
+        (SR, (src * 32767).astype(np.int16)), (SR, tgt)
+    )
+    assert sr_out == SR and out.dtype == np.int16
+    assert np.isfinite(out.astype(np.float32)).all()
+
+
 def test_cli_stream(tmp_path):
     """The streaming CLI: exact chunked reconstruction of a wav."""
     from scipy.io import wavfile
