@@ -136,5 +136,8 @@ def main(batch: int = 4, seg_frames: int = 80):
 
 
 if __name__ == "__main__":
+    import sys
+
     _cache()
-    main()
+    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 4,
+         seg_frames=int(sys.argv[2]) if len(sys.argv) > 2 else 80)

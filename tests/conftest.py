@@ -19,8 +19,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent compilation cache: the GAN train-step compile is ~5 min on CPU;
-# cached repeat runs make the suite fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_facodec_tests")
+# cached repeat runs make the suite fast. Machine-tagged subdir: CPU AOT
+# entries are host-specific and a cache dir can outlive its VM
+# (facodec_tpu/utils/cache._machine_tag).
+from facodec_tpu.utils.cache import _machine_tag  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", "/tmp/jax_cache_facodec_tests/" + _machine_tag()
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
