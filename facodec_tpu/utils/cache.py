@@ -18,15 +18,20 @@ def _machine_tag() -> str:
     abort after 'Target machine feature +prefer-no-scatter is not supported'
     loads from a cache dir that outlived its VM). Segregating the cache per
     machine makes stale entries unreachable instead of fatal."""
+    flags = ""
     try:
         with open("/proc/cpuinfo") as f:
+            # x86 lists features under "flags", aarch64 under "Features"
             flags = next(
-                (l for l in f.read().splitlines() if l.startswith("flags")), ""
+                (l for l in f.read().splitlines()
+                 if l.startswith(("flags", "Features"))), "",
             )
     except OSError:
+        pass
+    if not flags:
         import platform
 
-        flags = platform.processor() or platform.machine()
+        flags = f"{platform.machine()}/{platform.processor()}"
     return hashlib.sha1(flags.encode()).hexdigest()[:10]
 
 

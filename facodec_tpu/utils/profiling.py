@@ -83,6 +83,14 @@ def aggregate_device_trace(logdir: str, top_k: int = 40, printout: bool = True,
                 if "TPU" in n or "/device" in n.lower() or "Device" in n}
     op_lanes = {k for k, n in tid_names.items()
                 if k[0] in dev_pids and "XLA Ops" in n}
+    # container lanes span every leaf op; if the leaf lane is named
+    # something other than "XLA Ops" we still must EXCLUDE containers or
+    # totals double-count (the pid-only fallback below is for traces with
+    # no thread metadata at all)
+    container_lanes = {
+        k for k, n in tid_names.items()
+        if k[0] in dev_pids and any(t in n for t in ("Step", "Module", "Framework"))
+    }
     meta_re = re.compile(r'op_name="([^"]+)"')
     by_name: dict = {}
     by_mod: dict = {}
@@ -94,8 +102,9 @@ def aggregate_device_trace(logdir: str, top_k: int = 40, printout: bool = True,
         if op_lanes:
             if key not in op_lanes:
                 continue
-        elif dev_pids and e.get("pid") not in dev_pids:
-            continue  # older traces without thread metadata: best effort
+        elif dev_pids:
+            if e.get("pid") not in dev_pids or key in container_lanes:
+                continue  # no "XLA Ops" lane: device pids minus containers
         dur = e.get("dur", 0) / 1e3  # us -> ms
         name = e.get("name", "?")
         by_name[name] = by_name.get(name, 0.0) + dur

@@ -15,16 +15,28 @@ import argparse
 import numpy as np
 
 
-def _prep_audio(audio) -> np.ndarray:
-    """Gradio (sample_rate, array) -> mono float32 in [-1, 1]. Integer PCM
-    is detected BEFORE any float cast (int16 is gradio's default type)."""
-    _, w = audio
+def _prep_audio(audio, sr: int = 24000) -> np.ndarray:
+    """Gradio (sample_rate, array) -> mono float32 in [-1, 1] at `sr`.
+
+    Integer PCM is detected BEFORE any float cast (int16 is gradio's default
+    but 24/32-bit files arrive as int32 and mic input can be uint8), scaled
+    by its own dtype range, with unsigned types re-centered. A mismatched
+    input rate is resampled through the julius-exact fractional resampler
+    (ops/resample.py) instead of being silently misread."""
+    in_sr, w = audio
     w = np.asarray(w)
-    if w.dtype.kind in "iu":
-        w = w.astype(np.float32) / 32768.0
+    if w.dtype.kind == "u":
+        info = np.iinfo(w.dtype)
+        w = (w.astype(np.float32) - (info.max + 1) / 2.0) / ((info.max + 1) / 2.0)
+    elif w.dtype.kind == "i":
+        w = w.astype(np.float32) / (np.iinfo(w.dtype).max + 1.0)
     w = np.asarray(w, np.float32)
     if w.ndim > 1:
         w = w.mean(axis=-1)
+    if in_sr and int(in_sr) != sr:
+        from facodec_tpu.ops.resample import resample_frac
+
+        w = np.asarray(resample_frac(w[None], int(in_sr), sr)[0], np.float32)
     return w
 
 
@@ -33,14 +45,14 @@ def make_handlers(codec, redecoder=None, sr: int = 24000):
     environments without gradio (reference webui.py:54-88 inlines them)."""
 
     def do_reconstruct(audio):
-        out = codec.reconstruct(_prep_audio(audio))[0]
+        out = codec.reconstruct(_prep_audio(audio, sr))[0]
         return (sr, (np.clip(out, -1, 1) * 32767).astype(np.int16))
 
     def do_convert(source, target):
         from facodec_tpu.api import convert_voice
 
         out = convert_voice(
-            codec, redecoder, _prep_audio(source), _prep_audio(target)
+            codec, redecoder, _prep_audio(source, sr), _prep_audio(target, sr)
         )[0]
         return (sr, (np.clip(out, -1, 1) * 32767).astype(np.int16))
 

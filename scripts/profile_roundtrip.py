@@ -47,7 +47,11 @@ def main(batch=16, seconds=10.0):
             out = fn(params, wave)
         s = float(out)
     print("traced, scalar:", s)
-    aggregate_device_trace(logdir)
+    try:
+        aggregate_device_trace(logdir)
+    except FileNotFoundError as e:
+        # the tunnel sometimes wedges and xprof writes nothing (CLAUDE.md)
+        print(f"NO TRACE JSON ({e}) — inspect {logdir}")
 
 
 if __name__ == "__main__":

@@ -346,6 +346,17 @@ def test_webui_reconstruct_handler(codec):
     np.testing.assert_allclose(
         _prep_audio((SR, stereo)), i16.astype(np.float32) / 32768.0, atol=1e-7
     )
+    # every integer PCM dtype scales by ITS OWN range (24/32-bit files
+    # arrive as int32; mic input can be uint8 with a DC offset)
+    i32 = (w * (2**31 - 1)).astype(np.int32)
+    np.testing.assert_allclose(_prep_audio((SR, i32)), w, atol=2e-3)
+    u8 = ((w * 0.5 + 0.5) * 255).astype(np.uint8)
+    p8 = _prep_audio((SR, u8))
+    assert np.abs(p8).max() <= 1.0 and abs(p8.mean()) < 0.05
+    # a mismatched input rate is resampled to the codec rate, not misread
+    w48 = np.repeat(i16, 2)  # crude 48 kHz version of the same tone
+    p48 = _prep_audio((2 * SR, w48))
+    assert abs(len(p48) - len(w)) <= 2
 
     do_reconstruct, _ = make_handlers(codec, sr=SR)
     sr_out, out = do_reconstruct((SR, i16))
