@@ -29,3 +29,23 @@ def fused_enabled() -> bool:
     if env is not None:
         return env not in ("0", "false", "False", "")
     return _STATE["enabled"]
+
+
+# --- pipelined 2-layer LSTM (nn/lstm.lstm_2layer_pipelined) -----------------
+# Separate gate: unlike the Pallas resunit this path is pure XLA and matches
+# the sequential composition to f32 rounding (layer 2's input projection
+# moves from one hoisted matmul into the scan; same K-dim reduction). Same
+# trace-time caveat as above applies.
+
+_LSTM_STATE = {"enabled": False}
+
+
+def enable_pipelined_lstm(on: bool = True) -> None:
+    _LSTM_STATE["enabled"] = bool(on)
+
+
+def pipelined_lstm_enabled() -> bool:
+    env = os.environ.get("FACODEC_LSTM_PIPELINED")
+    if env is not None:
+        return env not in ("0", "false", "False", "")
+    return _LSTM_STATE["enabled"]

@@ -73,6 +73,39 @@ def test_lstm_state_chunking_is_exact():
     )
 
 
+def test_lstm_pipelined_matches_stacked():
+    """The diagonal-wavefront 2-layer scan (nn/lstm.lstm_2layer_pipelined)
+    computes the exact same recurrence as the stacked per-layer scans —
+    including explicit-state chunking and the T=1 prologue/epilogue path.
+    (f32-rounding-level tolerance: CPU XLA fuses the loop body differently
+    from the standalone prologue; on TPU the step math is bit-identical.)"""
+    from facodec_tpu.ops.fused import enable_pipelined_lstm
+
+    m = LSTM(6, 6, 2)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (3, 19, 6))
+    params = m.init(key, x)
+    tol = dict(rtol=1e-6, atol=1e-6)
+    try:
+        enable_pipelined_lstm(False)
+        want, (h, c) = m.apply(params, x)
+        enable_pipelined_lstm(True)
+        got, (hp, cp) = m.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), **tol)
+        np.testing.assert_allclose(np.asarray(hp), np.asarray(h), **tol)
+        np.testing.assert_allclose(np.asarray(cp), np.asarray(c), **tol)
+        # explicit-state chunking, incl. a single-step (prologue+epilogue) chunk
+        y1, st = m.apply(params, x[:, :1])
+        y2, st = m.apply(params, x[:, 1:8], st)
+        y3, _ = m.apply(params, x[:, 8:], st)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate([y1, y2, y3], axis=1)),
+            np.asarray(want), **tol,
+        )
+    finally:
+        enable_pipelined_lstm(False)
+
+
 def test_slstm_skip():
     torch.manual_seed(1)
     tm = torch.nn.LSTM(5, 5, 2)
