@@ -13,6 +13,7 @@ reconstruct_redecoder.py, dac/__main__.py, train.py, train_redecoder.py):
   train-redecoder  stage-2 redecoder training
   bench         one-chip round-trip benchmark (same as bench.py)
   validate      pretrained-checkpoint parity gate vs the torch reference
+  serve         HTTP inference server (bucketed static shapes, warm start)
 """
 
 from __future__ import annotations
@@ -41,6 +42,10 @@ def main(argv=None):
     stream_cli.add_args(sub.add_parser("stream"))
     validate_cli.add_args(sub.add_parser("validate"))
 
+    from facodec_tpu.cli import serve as serve_cli
+
+    serve_cli.add_args(sub.add_parser("serve"))
+
     p_train = sub.add_parser("train")
     p_train.add_argument("--config-path", type=str, required=True)
     p_train.add_argument("--max-steps", type=int, default=None)
@@ -64,6 +69,8 @@ def main(argv=None):
         return stream_cli.main(args)
     if args.command == "validate":
         return validate_cli.main(args)
+    if args.command == "serve":
+        return serve_cli.main(args)
     if args.command == "train":
         from facodec_tpu.train.loop import run_training
 

@@ -32,9 +32,7 @@ class FACodecFile:
     original_length: int = 0  # samples, for exact truncation on decode
     metadata: Dict = field(default_factory=dict)
 
-    def save(self, path: str) -> str:
-        if not path.endswith(".fac"):
-            path = path + ".fac"
+    def _write(self, f) -> None:
         arrays = dict(
             codes_p=self.codes_p.astype(np.uint16),
             codes_c=self.codes_c.astype(np.uint16),
@@ -47,12 +45,31 @@ class FACodecFile:
             hop_length=self.hop_length, original_length=self.original_length,
             **self.metadata,
         )
+        np.savez(f, __header__=np.asarray([repr(header)]), **arrays)
+
+    def save(self, path: str) -> str:
+        if not path.endswith(".fac"):
+            path = path + ".fac"
         with open(path, "wb") as f:
-            np.savez(f, __header__=np.asarray([repr(header)]), **arrays)
+            self._write(f)
         return path
 
+    def to_bytes(self) -> bytes:
+        """In-memory serialization (network transport / the serve CLI)."""
+        import io
+
+        buf = io.BytesIO()
+        self._write(buf)
+        return buf.getvalue()
+
     @classmethod
-    def load(cls, path: str) -> "FACodecFile":
+    def from_bytes(cls, blob: bytes) -> "FACodecFile":
+        import io
+
+        return cls.load(io.BytesIO(blob))
+
+    @classmethod
+    def load(cls, path) -> "FACodecFile":
         import ast
 
         data = np.load(path, allow_pickle=False)

@@ -1,0 +1,188 @@
+"""The HTTP serving front-end (cli/serve.py): bucketed static shapes,
+in-memory wav/.fac transport, and the live server endpoints."""
+
+import base64
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+TINY = os.path.join(os.path.dirname(__file__), "tiny_config.yml")
+SR, HOP = 24000, 300
+
+
+def tone(seconds=0.6, hz=220.0, seed=0):
+    t = np.arange(int(seconds * SR)) / SR
+    rng = np.random.default_rng(seed)
+    return (0.4 * np.sin(2 * np.pi * hz * t) + 0.02 * rng.standard_normal(len(t))
+            ).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def service():
+    from facodec_tpu.api import FACodec
+    from facodec_tpu.cli.serve import CodecService
+
+    codec = FACodec.from_config(TINY, n_c=2)
+    # 0.5 s buckets so a 0.6 s tone exercises pad + trim
+    return CodecService(codec, bucket_seconds=0.5, stream_threshold_seconds=4.0)
+
+
+def test_wav_bytes_roundtrip():
+    from facodec_tpu.cli.serve import read_wav_bytes, write_wav_bytes
+
+    w = tone(0.2)
+    blob = write_wav_bytes(w)
+    back = read_wav_bytes(blob)
+    assert back.shape == w.shape
+    np.testing.assert_allclose(back, w, atol=2.0 / 32767)
+
+
+def test_wav_bytes_resamples():
+    from scipy.io import wavfile
+    import io
+
+    from facodec_tpu.cli.serve import read_wav_bytes
+
+    t = np.arange(16000) / 16000.0
+    w16 = (0.5 * np.sin(2 * np.pi * 100 * t)).astype(np.float32)
+    buf = io.BytesIO()
+    wavfile.write(buf, 16000, (w16 * 32767).astype(np.int16))
+    out = read_wav_bytes(buf.getvalue())
+    assert abs(len(out) - SR) <= 2  # 1 s at 24 kHz
+
+
+def test_fac_bytes_roundtrip():
+    from facodec_tpu.codec_file import FACodecFile
+
+    rng = np.random.default_rng(1)
+    f = FACodecFile(
+        codes_p=rng.integers(0, 32, (1, 1, 7)).astype(np.uint16),
+        codes_c=rng.integers(0, 32, (1, 2, 7)).astype(np.uint16),
+        codes_r=None,
+        timbre=rng.standard_normal((1, 16)).astype(np.float32),
+        original_length=2100,
+    )
+    g = FACodecFile.from_bytes(f.to_bytes())
+    np.testing.assert_array_equal(g.codes_p, f.codes_p)
+    assert g.codes_r is None and g.original_length == 2100
+
+
+def test_service_bucketing_shapes(service):
+    """A 0.6 s request on 0.5 s buckets: padded to 1.0 s inside, output
+    trimmed back to the request length; codes trimmed to true frames."""
+    w = tone(0.6)
+    true_frames = len(w) // HOP
+    f = service.encode(w)
+    assert f.codes_p.shape[-1] == true_frames
+    assert f.original_length == true_frames * HOP
+    out = service.reconstruct(w)
+    assert out.shape == (1, true_frames * HOP)
+    assert np.isfinite(out).all()
+
+
+def test_service_bucketed_codes_prefix_match(service):
+    """Causal config: bucket padding only perturbs the trailing mel
+    reflect-pad span — every code frame before it matches the unpadded
+    one-shot encoder bit for bit."""
+    w = tone(0.6)
+    f_b = service.encode(w)
+    f_1 = service.codec.encode(w)
+    # mel reflect pad spans n_fft//2 = 1024 samples ~ 4 frames
+    guard = 5
+    for a, b in ((f_b.codes_p, f_1.codes_p), (f_b.codes_c, f_1.codes_c),
+                 (f_b.codes_r, f_1.codes_r)):
+        np.testing.assert_array_equal(a[..., :-guard], b[..., :-guard])
+
+
+def test_service_decode_matches_api(service):
+    w = tone(0.6)
+    f = service.codec.encode(w)
+    np.testing.assert_allclose(
+        service.decode(f), service.codec.decode(f), atol=0, rtol=0
+    )
+
+
+def test_http_endpoints(service):
+    from facodec_tpu.cli.serve import make_server, write_wav_bytes
+
+    server = make_server(service, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        health = json.loads(urllib.request.urlopen(f"{base}/health").read())
+        assert health["status"] == "ok" and health["vc_available"] is False
+
+        blob = write_wav_bytes(tone(0.6))
+        req = urllib.request.Request(f"{base}/reconstruct", data=blob, method="POST")
+        resp = urllib.request.urlopen(req)
+        assert resp.headers["Content-Type"] == "audio/wav"
+        assert len(resp.read()) > 44
+
+        req = urllib.request.Request(f"{base}/encode", data=blob, method="POST")
+        fac = urllib.request.urlopen(req).read()
+        req = urllib.request.Request(f"{base}/decode", data=fac, method="POST")
+        wav = urllib.request.urlopen(req).read()
+        assert wav[:4] == b"RIFF"
+
+        # residual-free decode
+        req = urllib.request.Request(
+            f"{base}/decode?residual=0", data=fac, method="POST"
+        )
+        assert urllib.request.urlopen(req).read()[:4] == b"RIFF"
+
+        # VC without a redecoder -> 503
+        body = json.dumps({
+            "source_wav": base64.b64encode(blob).decode(),
+            "target_wav": base64.b64encode(blob).decode(),
+        }).encode()
+        req = urllib.request.Request(f"{base}/convert", data=body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 503
+
+        # malformed input -> 400, not a hung connection
+        req = urllib.request.Request(
+            f"{base}/decode", data=b"not a fac file", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_convert_with_redecoder():
+    from facodec_tpu.api import FACodec, FARedecoder
+    from facodec_tpu.cli.serve import CodecService, make_server, write_wav_bytes
+
+    codec = FACodec.from_config(TINY, n_c=1)
+    red = FARedecoder.from_config(TINY)
+    service = CodecService(codec, red, bucket_seconds=0.5)
+    server = make_server(service, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        blob = write_wav_bytes(tone(0.6))
+        body = json.dumps({
+            "source_wav": base64.b64encode(blob).decode(),
+            "target_wav": base64.b64encode(write_wav_bytes(tone(0.6, hz=330, seed=1))).decode(),
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/convert", data=body, method="POST"
+        )
+        resp = urllib.request.urlopen(req)
+        assert resp.read()[:4] == b"RIFF"
+        health = json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/health").read()
+        )
+        assert health["vc_available"] is True
+    finally:
+        server.shutdown()
+        server.server_close()
