@@ -14,6 +14,7 @@ reconstruct_redecoder.py, dac/__main__.py, train.py, train_redecoder.py):
   bench         one-chip round-trip benchmark (same as bench.py)
   validate      pretrained-checkpoint parity gate vs the torch reference
   serve         HTTP inference server (bucketed static shapes, warm start)
+  export        AOT deployment artifact (serialized StableHLO programs)
 """
 
 from __future__ import annotations
@@ -42,9 +43,11 @@ def main(argv=None):
     stream_cli.add_args(sub.add_parser("stream"))
     validate_cli.add_args(sub.add_parser("validate"))
 
+    from facodec_tpu.cli import export_model as export_cli
     from facodec_tpu.cli import serve as serve_cli
 
     serve_cli.add_args(sub.add_parser("serve"))
+    export_cli.add_args(sub.add_parser("export"))
 
     p_train = sub.add_parser("train")
     p_train.add_argument("--config-path", type=str, required=True)
@@ -71,6 +74,8 @@ def main(argv=None):
         return validate_cli.main(args)
     if args.command == "serve":
         return serve_cli.main(args)
+    if args.command == "export":
+        return export_cli.main(args)
     if args.command == "train":
         from facodec_tpu.train.loop import run_training
 
