@@ -120,8 +120,24 @@ def run_training(
     else:
         p_shard = replicate(mesh, state.params)
     state = TrainState(p_shard, replicate(mesh, state.opt_states), state.step)
+    # inline F0 teacher (reference train.py:92, 214-216): when the config's
+    # F0_path checkpoint exists, the JAX JDC runs inside the jitted step on
+    # each mel segment — no offline pre-extraction needed for F0. Targets
+    # from cli/extract_targets.py (batch["f0"]) are used otherwise.
+    # `inline_f0: false` forces the offline path even when the blob exists.
+    f0_teacher = None
+    f0_path = cfg.get("F0_path", "")
+    if cfg.get("inline_f0", True) and f0_path and os.path.exists(f0_path):
+        from facodec_tpu.models.jdc import JDCNet, load_jdc_checkpoint
+
+        f0_teacher = (JDCNet(), load_jdc_checkpoint(f0_path))
+        print(f"inline F0 teacher: {f0_path}")
+
     step_fn = jax.jit(
-        make_codec_train_step(models, optimizers, remat=bool(cfg.get("remat", False)))
+        make_codec_train_step(
+            models, optimizers, remat=bool(cfg.get("remat", False)),
+            f0_teacher=f0_teacher,
+        )
     )
 
     if dataset is None:

@@ -68,9 +68,17 @@ def make_codec_train_step(
     optimizers: Mapping[str, Any],
     remat: bool = False,
     precision: str = "float32",
+    f0_teacher: Optional[Tuple[Any, Any]] = None,
 ):
     """Returns `train_step(state, batch, rng) -> (state, metrics)` ready for
     jax.jit / pjit.
+
+    f0_teacher=(jdc_module, jdc_params) extracts F0 targets INLINE from the
+    mel segment, fused into the jitted step — the reference's semantics
+    (train.py:214-216 runs pitch_extractor per step under no_grad), viable
+    here because the JDC teacher is a JAX model (models/jdc.py) rather than
+    a torch module bounced through the host. When None, targets come
+    pre-extracted through `batch["f0"]` (cli/extract_targets.py).
 
     remat=True wraps the generator forward in `jax.checkpoint`: activations
     are recomputed in the backward pass instead of stored — HBM for FLOPs,
@@ -170,7 +178,13 @@ def make_codec_train_step(
         adv_l, feat_l = generator_adv_losses(d_fake, d_real)
 
         # ---- predictor supervision (+ gradient-reversal branches)
-        f0_targets = normalize_f0(batch["f0"])
+        if f0_teacher is not None:
+            jdc_mod, jdc_params = f0_teacher
+            f0_hz, _ = jdc_mod.apply({"params": jdc_params}, batch["mel_seg"])
+            f0_hz = jax.lax.stop_gradient(f0_hz)  # teacher, never trained
+        else:
+            f0_hz = batch["f0"]
+        f0_targets = normalize_f0(f0_hz)
         real_norm = log_norm(batch["mel_seg"])  # (B, F)
 
         T = min(preds["f0"].shape[1], f0_targets.shape[-1])

@@ -199,6 +199,40 @@ def test_remat_step_matches(setup):
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
 
 
+def test_inline_f0_teacher_step(setup):
+    """f0_teacher=(JDCNet, params) extracts F0 inside the jitted step
+    (reference train.py:214-216 semantics). The step must (a) run and stay
+    finite, (b) actually consume the teacher (metrics differ from the
+    offline-f0 step on a batch whose batch['f0'] disagrees with the
+    teacher's output), and (c) be deterministic."""
+    from facodec_tpu.models.jdc import JDCNet
+
+    models, params, optimizers, opt_states, step_fn = setup
+    jdc = JDCNet()
+    jdc_params = jdc.init(
+        jax.random.PRNGKey(7), jnp.zeros((B, FRAMES, 80))
+    )["params"]
+    inline_fn = jax.jit(make_codec_train_step(
+        models, optimizers, f0_teacher=(jdc, jdc_params)
+    ))
+    batch = make_batch(np.random.default_rng(21))
+    rng = jax.random.PRNGKey(3)
+    s0 = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
+
+    s_a, m_a = inline_fn(s0, batch, rng)
+    for k, v in m_a.items():
+        assert np.isfinite(float(v)), f"{k} not finite with inline F0"
+    # teacher actually used: the f0 loss differs from the offline-target step
+    _, m_off = step_fn(s0, batch, rng)
+    assert float(m_a["loss/f0"]) != float(m_off["loss/f0"])
+    # deterministic
+    s_b, m_b = inline_fn(s0, batch, rng)
+    assert float(m_b["loss/gen_all"]) == float(m_a["loss/gen_all"])
+    # teacher params were NOT trained into the state (stop_gradient + not in
+    # the optimizer groups)
+    assert set(s_a.params) == set(s0.params)
+
+
 def test_disc_paired_call_equals_two_calls():
     """Phase D runs ONE discriminator pass over concat(fake, real) for
     throughput (scripts/bench_disc.py: 11.2 ms at 2B vs 20.3 ms for two
