@@ -26,6 +26,30 @@ SR = 24000
 HOP = 300
 
 
+def _shard_batch_args(mesh, arrays):
+    """Pad each array's leading (batch) dim to a multiple of the mesh's data
+    axis and place it batch-sharded; returns (placed_arrays, original_B).
+    The SPMD partitioner then runs each entry point data-parallel with NO
+    hand-written communication — rows are independent, so the only
+    collective is the final gather on host read-back."""
+    from facodec_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+
+    B = next(a.shape[0] for a in arrays if a is not None)
+    pad = (-B) % mesh.shape[DATA_AXIS]
+    s = batch_sharding(mesh)
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+            )
+        out.append(jax.device_put(a, s))
+    return out, B
+
+
 def _load_params(ckpt_path: str, models: Dict[str, Any], templates) -> Dict[str, Any]:
     if ckpt_path.endswith((".bin", ".pth", ".pt")):
         from facodec_tpu.utils.checkpoint import load_torch_checkpoint_file
@@ -62,6 +86,8 @@ class FACodec:
     # jitted lazily per (batch, length) signature
     _enc: Any = field(default=None, repr=False)
     _dec: Any = field(default=None, repr=False)
+    # set by shard_inference(): batch-parallel SPMD over this mesh
+    _mesh: Any = field(default=None, repr=False)
 
     @classmethod
     def from_config(
@@ -116,6 +142,23 @@ class FACodec:
         self._dec_codes = jax.jit(decode_codes)
         self._dec_outs = jax.jit(decode_outs)
 
+    def shard_inference(self, mesh=None) -> "FACodec":
+        """Enable data-parallel batch inference over a device mesh (beyond
+        the reference — its DDP is training-only, train.py:110-122).
+        Parameters are replicated; every one-shot entry point
+        (encode / decode / decode_subset / reconstruct / timbre_of) pads the
+        batch to a multiple of the mesh's data axis, shards it, and trims
+        outputs — bulk offline transcoding scales linearly over ICI.
+        Streaming sessions stay single-device (they are latency-, not
+        throughput-bound). Default mesh: all devices on the data axis."""
+        from facodec_tpu.parallel.mesh import make_mesh, replicate
+
+        if mesh is None:
+            mesh = make_mesh()
+        self.params = replicate(mesh, self.params)
+        self._mesh = mesh
+        return self
+
     # ------------------------------------------------------------- numpy API
     def _prep(self, wave: np.ndarray) -> jnp.ndarray:
         wave = np.asarray(wave, np.float32)
@@ -127,13 +170,17 @@ class FACodec:
     def encode(self, wave: np.ndarray) -> FACodecFile:
         """wave (T,) or (B, T) float 24 kHz -> FACodecFile."""
         w = self._prep(wave)
+        B0 = w.shape[0]
+        if self._mesh is not None:
+            (w,), B0 = _shard_batch_args(self._mesh, [w])
         _, codes, timbre = self._enc(self.params, w)
-        codes_p, codes_c, codes_r = (np.asarray(c) for c in codes)
+        codes_p, codes_c, codes_r = (np.asarray(c)[:B0] for c in codes)
+        timbre = np.asarray(timbre)[:B0]
         return FACodecFile(
             codes_p=codes_p.astype(np.uint16),
             codes_c=codes_c.astype(np.uint16),
             codes_r=codes_r.astype(np.uint16),
-            timbre=np.asarray(timbre),
+            timbre=timbre,
             sample_rate=SR, hop_length=HOP, original_length=int(w.shape[-1]),
         )
 
@@ -240,16 +287,18 @@ class FACodec:
 
     def decode(self, f: FACodecFile, use_residual: bool = True) -> np.ndarray:
         """FACodecFile -> wave (B, T) float numpy."""
-        codes_r = jnp.asarray(f.codes_r.astype(np.int32)) if (
-            use_residual and f.codes_r is not None) else None
-        wave = self._dec_codes(
-            self.params,
+        args = [
             jnp.asarray(f.codes_p.astype(np.int32)),
             jnp.asarray(f.codes_c.astype(np.int32)),
-            codes_r,
+            jnp.asarray(f.codes_r.astype(np.int32)) if (
+                use_residual and f.codes_r is not None) else None,
             jnp.asarray(f.timbre),
-        )
-        out = np.asarray(wave)
+        ]
+        B0 = args[0].shape[0]
+        if self._mesh is not None:
+            args, B0 = _shard_batch_args(self._mesh, args)
+        wave = self._dec_codes(self.params, *args)
+        out = np.asarray(wave)[:B0]
         if f.original_length:
             out = out[:, : f.original_length]
         return out
@@ -276,14 +325,17 @@ class FACodec:
                 return dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
 
             cache[key] = jax.jit(fn)
-        wave = cache[key](
-            self.params,
+        args = [
             jnp.asarray(f.codes_p.astype(np.int32)),
             jnp.asarray(f.codes_c.astype(np.int32)),
             jnp.asarray(f.codes_r.astype(np.int32)) if f.codes_r is not None else None,
             jnp.asarray(f.timbre),
-        )
-        out = np.asarray(wave)
+        ]
+        B0 = args[0].shape[0]
+        if self._mesh is not None:
+            args, B0 = _shard_batch_args(self._mesh, args)
+        wave = cache[key](self.params, *args)
+        out = np.asarray(wave)[:B0]
         if f.original_length:
             out = out[:, : f.original_length]
         return out
@@ -291,14 +343,20 @@ class FACodec:
     def reconstruct(self, wave: np.ndarray) -> np.ndarray:
         """Round-trip through the quantized latent (reconstruct.py:56-61)."""
         w = self._prep(wave)
+        B0 = w.shape[0]
+        if self._mesh is not None:
+            (w,), B0 = _shard_batch_args(self._mesh, [w])
         outs, _, _ = self._enc(self.params, w)
-        return np.asarray(self._dec_outs(self.params, outs))
+        return np.asarray(self._dec_outs(self.params, outs))[:B0]
 
     def timbre_of(self, wave: np.ndarray) -> np.ndarray:
         """Global timbre vector of an utterance."""
         w = self._prep(wave)
+        B0 = w.shape[0]
+        if self._mesh is not None:
+            (w,), B0 = _shard_batch_args(self._mesh, [w])
         _, _, timbre = self._enc(self.params, w)
-        return np.asarray(timbre)
+        return np.asarray(timbre)[:B0]
 
 
 @dataclass
@@ -307,6 +365,7 @@ class FARedecoder:
 
     models: Dict[str, Any]
     params: Dict[str, Any]
+    _mesh: Any = field(default=None, repr=False)
 
     @classmethod
     def from_config(
@@ -329,6 +388,17 @@ class FARedecoder:
 
         self._vc = jax.jit(vc, static_argnums=(4, 5))
 
+    def shard_inference(self, mesh=None) -> "FARedecoder":
+        """Data-parallel batch VC over a device mesh (see
+        FACodec.shard_inference); applies to `resynthesize`."""
+        from facodec_tpu.parallel.mesh import make_mesh, replicate
+
+        if mesh is None:
+            mesh = make_mesh()
+        self.params = replicate(mesh, self.params)
+        self._mesh = mesh
+        return self
+
     def resynthesize(
         self,
         codes: FACodecFile,
@@ -338,14 +408,16 @@ class FARedecoder:
     ) -> np.ndarray:
         """Voice conversion: source codes + target timbre -> wave
         (reference reconstruct_redecoder.py:110-128)."""
-        wave = self._vc(
-            self.params,
+        args = [
             jnp.asarray(codes.codes_p.astype(np.int32)),
             jnp.asarray(codes.codes_c.astype(np.int32)),
             jnp.asarray(np.asarray(target_timbre, np.float32)),
-            use_p_code, n_c,
-        )
-        out = np.asarray(wave)
+        ]
+        B0 = args[0].shape[0]
+        if self._mesh is not None:
+            args, B0 = _shard_batch_args(self._mesh, args)
+        wave = self._vc(self.params, *args, use_p_code, n_c)
+        out = np.asarray(wave)[:B0]
         if codes.original_length:
             out = out[:, : codes.original_length]
         return out

@@ -46,6 +46,43 @@ def test_tp_rules_pick_wide_heads():
     assert not any("codebook" in k for k in desc)
 
 
+def test_dp_inference_matches_single_device():
+    """FACodec.shard_inference: batch encode/decode/VC sharded over the
+    8-virtual-device data axis equals the single-device result. Batch 3
+    exercises the pad-to-multiple-of-8 path (rows are independent, so the
+    SPMD program computes identical per-row values)."""
+    import os
+
+    from facodec_tpu.api import FACodec, FARedecoder
+
+    TINY = os.path.join(os.path.dirname(__file__), "tiny_config.yml")
+    codec = FACodec.from_config(TINY, n_c=1)
+    rng = np.random.default_rng(3)
+    t = np.arange(24 * 300) / 24000.0
+    wave = (0.3 * np.sin(2 * np.pi * np.array([[180.0], [220.0], [300.0]]) * t)
+            + 0.01 * rng.standard_normal((3, len(t)))).astype(np.float32)
+
+    f_ref = codec.encode(wave)
+    y_ref = codec.decode(f_ref)
+    r_ref = codec.reconstruct(wave)
+
+    codec.shard_inference()  # default mesh: all 8 devices on the data axis
+    f_dp = codec.encode(wave)
+    for name in ("codes_p", "codes_c", "codes_r"):
+        np.testing.assert_array_equal(getattr(f_dp, name), getattr(f_ref, name))
+    np.testing.assert_allclose(f_dp.timbre, f_ref.timbre, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(codec.decode(f_dp), y_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(codec.reconstruct(wave), r_ref, rtol=1e-5, atol=1e-5)
+
+    red = FARedecoder.from_config(TINY)
+    timbre = f_ref.timbre
+    v_ref = red.resynthesize(f_ref, timbre)
+    red.shard_inference()
+    np.testing.assert_allclose(
+        red.resynthesize(f_ref, timbre), v_ref, rtol=1e-5, atol=1e-5
+    )
+
+
 @pytest.mark.slow
 def test_dp_tp_step_matches_single_device():
     """One train step on a (4 data x 2 model) mesh == single-device step."""
