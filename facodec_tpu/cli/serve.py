@@ -31,6 +31,13 @@ TPU-native serving disciplines (what makes this more than a file-CLI loop):
     (utils/cache.py) a restarted server is hot immediately.
   * One device queue: JAX dispatch is serialized with a lock — concurrent
     requests queue for the chip instead of interleaving host callbacks.
+  * CROSS-REQUEST MICRO-BATCHING. Batch 1 underfills the chip (bench.py
+    batch curve: 210x RTF at batch 1 vs 490x at batch 16) — concurrent
+    encode/reconstruct requests landing in the same length bucket within
+    --batch-window-ms are stacked into ONE device call (batch dim padded to
+    a power of two <= --max-batch, so the program inventory stays
+    log2(max_batch) x n_buckets). Single sporadic requests pay at most the
+    window (default 5 ms) in added latency.
 
 Usage:
   python -m facodec_tpu serve --config-path configs/config.yml \
@@ -90,6 +97,79 @@ def write_wav_bytes(wave: np.ndarray, sr: int = SR) -> bytes:
 # ------------------------------------------------------------------- service
 
 
+class _MicroBatcher:
+    """Stacks concurrent same-key submissions into one call to `run_batch`.
+
+    `submit(key, payload)` blocks the calling (HTTP handler) thread until a
+    single worker thread has collected up to `max_batch` payloads sharing
+    `key` (waiting `window_s` for a burst to accumulate), executed
+    `run_batch(key, payloads)`, and distributed the per-payload results."""
+
+    def __init__(self, run_batch, window_s: float = 0.005, max_batch: int = 8):
+        import collections
+
+        self._run = run_batch
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._q = collections.defaultdict(collections.deque)
+        self._cv = threading.Condition()
+        self._stop = False
+        self.calls = 0  # device calls issued
+        self.max_seen = 0  # largest batch actually stacked
+        self._worker = threading.Thread(
+            target=self._loop, name="facodec-microbatch", daemon=True
+        )
+        self._worker.start()
+
+    def submit(self, key, payload):
+        item = {"payload": payload, "done": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("micro-batcher closed")
+            self._q[key].append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._stop and not any(self._q.values()):
+                    self._cv.wait()
+                if self._stop:
+                    return
+                ready = max(len(q) for q in self._q.values())
+            if ready < self.max_batch and self.window_s > 0:
+                time.sleep(self.window_s)  # let a burst accumulate
+            with self._cv:
+                if not any(self._q.values()):
+                    continue
+                key = max(self._q, key=lambda k: len(self._q[k]))
+                q = self._q[key]
+                items = [q.popleft() for _ in range(min(self.max_batch, len(q)))]
+                if not q:
+                    del self._q[key]
+            try:
+                results = self._run(key, [it["payload"] for it in items])
+                for it, r in zip(items, results):
+                    it["result"] = r
+            except Exception as e:  # noqa: BLE001 — propagate to every waiter
+                for it in items:
+                    it["error"] = e
+            self.calls += 1
+            self.max_seen = max(self.max_seen, len(items))
+            for it in items:
+                it["done"].set()
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+
+
 class CodecService:
     """Bucketed, lock-serialized inference over a FACodec (+ optional
     FARedecoder). Independent of the HTTP layer for testability."""
@@ -101,15 +181,24 @@ class CodecService:
         bucket_seconds: float = 1.0,
         stream_threshold_seconds: float = 32.0,
         max_seconds: float = 120.0,
+        max_batch: int = 8,
+        batch_window_ms: float = 5.0,
     ):
         self.codec = codec
         self.redecoder = redecoder
         self.bucket_frames = max(1, int(bucket_seconds * SR) // HOP)
         self.stream_threshold_frames = int(stream_threshold_seconds * SR) // HOP
         self.max_frames = int(max_seconds * SR) // HOP
+        # round down to a power of two: collected batches pad UP to a power
+        # of two, which must not exceed the cap
+        self.max_batch = 1 << (max(1, max_batch).bit_length() - 1)
         self.lock = threading.Lock()
         self.started = time.time()
         self.requests = 0
+        self._batcher = _MicroBatcher(
+            self._run_batch, window_s=batch_window_ms / 1e3,
+            max_batch=self.max_batch,
+        )
 
         from facodec_tpu.ops.precision import policy
 
@@ -146,18 +235,43 @@ class CodecService:
     # -- shape management ----------------------------------------------------
 
     def _bucketed(self, wave: np.ndarray):
-        """(T,) float32 -> (padded (1, Tb) jnp wave, lens (1,), true frames)."""
-        import jax.numpy as jnp
-
+        """(T,) float32 -> (padded row (Tb,) numpy, true T, true frames)."""
         T = min(len(wave), self.max_frames * HOP) // HOP * HOP
         frames = T // HOP
         if frames == 0:
             raise ValueError(f"input shorter than one hop ({HOP} samples)")
         bf = self.bucket_frames
         frames_b = -(-frames // bf) * bf
-        padded = np.zeros((1, frames_b * HOP), np.float32)
-        padded[0, :T] = wave[:T]
-        return jnp.asarray(padded), jnp.asarray([T], np.int32), frames
+        padded = np.zeros(frames_b * HOP, np.float32)
+        padded[:T] = wave[:T]
+        return padded, T, frames
+
+    def _run_batch(self, key, payloads):
+        """ONE device call for up to max_batch same-bucket requests: stack
+        the padded rows, pad the batch dim to a power of two (zero rows,
+        full-bucket lens), run, split per request."""
+        import jax.numpy as jnp
+
+        op, Tb = key
+        n = len(payloads)
+        nb = 1 << (n - 1).bit_length()
+        waves = np.zeros((nb, Tb), np.float32)
+        lens = np.full(nb, Tb, np.int32)
+        for i, (row, T) in enumerate(payloads):
+            waves[i] = row
+            lens[i] = T
+        w, wl = jnp.asarray(waves), jnp.asarray(lens)
+        with self.lock:
+            outs, codes, timbre = self._enc(self.codec.params, w, wl)
+            if op == "reconstruct":
+                out = np.asarray(self._dec(self.codec.params, outs))
+                return [out[i : i + 1] for i in range(n)]
+        cp, cc, cr = (np.asarray(c) for c in codes)
+        tm = np.asarray(timbre)
+        return [
+            (cp[i : i + 1], cc[i : i + 1], cr[i : i + 1], tm[i : i + 1])
+            for i in range(n)
+        ]
 
     # -- operations ----------------------------------------------------------
 
@@ -169,14 +283,13 @@ class CodecService:
         if frames > self.stream_threshold_frames:
             with self.lock:
                 return self.codec.encode_streaming(wave[: self.max_frames * HOP])
-        w, lens, true_frames = self._bucketed(np.asarray(wave, np.float32))
-        with self.lock:
-            _, codes, timbre = self._enc(self.codec.params, w, lens)
-            cp, cc, cr = (np.asarray(c)[..., :true_frames] for c in codes)
+        row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
+        cp, cc, cr, timbre = self._batcher.submit(("encode", len(row)), (row, T))
+        cp, cc, cr = (c[..., :true_frames] for c in (cp, cc, cr))
         self.requests += 1
         return FACodecFile(
             codes_p=cp.astype(np.uint16), codes_c=cc.astype(np.uint16),
-            codes_r=cr.astype(np.uint16), timbre=np.asarray(timbre),
+            codes_r=cr.astype(np.uint16), timbre=timbre,
             sample_rate=SR, hop_length=HOP,
             original_length=true_frames * HOP,
         )
@@ -193,10 +306,8 @@ class CodecService:
         frames = len(wave) // HOP
         if frames > self.stream_threshold_frames:
             return self.decode(self.encode(wave))
-        w, lens, true_frames = self._bucketed(np.asarray(wave, np.float32))
-        with self.lock:
-            outs, _, _ = self._enc(self.codec.params, w, lens)
-            out = np.asarray(self._dec(self.codec.params, outs))
+        row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
+        out = self._batcher.submit(("reconstruct", len(row)), (row, T))
         self.requests += 1
         return out[:, : true_frames * HOP]
 
@@ -209,10 +320,10 @@ class CodecService:
         if self.redecoder is None:
             raise RuntimeError("no redecoder configured (--redecoder-config)")
         f = self.encode(source)
-        tw, tlens, _ = self._bucketed(np.asarray(target, np.float32))
+        row, T, _ = self._bucketed(np.asarray(target, np.float32))
+        _, _, _, timbre = self._batcher.submit(("encode", len(row)), (row, T))
         with self.lock:
-            _, _, timbre = self._enc(self.codec.params, tw, tlens)
-            return self.redecoder.resynthesize(f, np.asarray(timbre))
+            return self.redecoder.resynthesize(f, timbre)
 
     def warmup(self) -> float:
         """Compile the first bucket (encode+decode); returns seconds taken."""
@@ -233,6 +344,9 @@ class CodecService:
             "vc_available": self.redecoder is not None,
             "uptime_s": round(time.time() - self.started, 1),
             "requests": self.requests,
+            "max_batch": self.max_batch,
+            "device_calls": self._batcher.calls,
+            "max_batch_seen": self._batcher.max_seen,
         }
 
 
@@ -326,6 +440,11 @@ def add_args(p):
     p.add_argument("--bucket-seconds", type=float, default=1.0)
     p.add_argument("--stream-threshold-seconds", type=float, default=32.0)
     p.add_argument("--max-seconds", type=float, default=120.0)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="cross-request micro-batch cap (rounded down to a "
+                        "power of two; 1 disables batching)")
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="how long a request waits for same-bucket peers")
     p.add_argument("--no-warmup", action="store_true")
     return p
 
@@ -345,6 +464,8 @@ def main(args) -> int:
         bucket_seconds=args.bucket_seconds,
         stream_threshold_seconds=args.stream_threshold_seconds,
         max_seconds=args.max_seconds,
+        max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
     )
     if not args.no_warmup:
         print(f"warmup: compiling first bucket ({service.bucket_frames} frames)...")

@@ -106,6 +106,43 @@ def test_service_decode_matches_api(service):
     )
 
 
+def test_microbatching_stacks_concurrent_requests():
+    """4 concurrent same-bucket reconstructs land in ONE device call (window
+    generously long so the burst always collects), and each result equals
+    the sequential (batch-1) run of the same request."""
+    from facodec_tpu.api import FACodec
+    from facodec_tpu.cli.serve import CodecService
+
+    codec = FACodec.from_config(TINY, n_c=2)
+    service = CodecService(
+        codec, bucket_seconds=0.5, max_batch=4, batch_window_ms=300.0
+    )
+    waves = [tone(0.4, hz=180.0 + 40 * i, seed=i) for i in range(4)]
+    seq = [service.reconstruct(w) for w in waves]
+    calls_before = service._batcher.calls
+
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = service.reconstruct(waves[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert service._batcher.calls == calls_before + 1  # one stacked call
+    assert service._batcher.max_seen == 4
+    for got, want in zip(results, seq):
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # error propagation: a bad payload must not wedge the worker
+    with pytest.raises(Exception):
+        service._batcher.submit(("encode", 123), (np.zeros(7, np.float32), 7))
+    assert service.reconstruct(waves[0]).shape == seq[0].shape
+
+
 def test_http_endpoints(service):
     from facodec_tpu.cli.serve import make_server, write_wav_bytes
 
