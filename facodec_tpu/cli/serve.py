@@ -350,6 +350,166 @@ class CodecService:
         }
 
 
+class ArtifactService:
+    """Serve from an AOT export (utils/export.py) — no model source and no
+    tracing at serving time: the artifact pins ONE (batch, seconds) program
+    per function. Requests zero-pad to the artifact bucket (masked timbre
+    pooling keeps the global vector exact) and micro-batch up to the
+    artifact's batch — the batch dim is baked into the exported signature,
+    so every device call runs at exactly that batch.
+
+    Deliberately NOT supported without model source: exact streaming for
+    long inputs (past-bucket requests get 400), residual-free decode, VC.
+    Duck-types CodecService for the HTTP layer."""
+
+    def __init__(self, artifact_dir: str, params, batch_window_ms: float = 5.0):
+        from facodec_tpu.utils.export import ExportedCodec
+
+        self.exported = ExportedCodec(artifact_dir)
+        m = self.exported.meta
+        if "encode_masked" not in m["functions"]:
+            raise ValueError(
+                "artifact lacks the masked serving functions — re-export "
+                "with the current utils/export.py"
+            )
+        self.params = params
+        self.frames = int(m["frames"])
+        self.batch = int(m["batch"])
+        self.precision = m.get("precision", "?")
+        self.redecoder = None
+        self.lock = threading.Lock()
+        self.started = time.time()
+        self.requests = 0
+        self._batcher = _MicroBatcher(
+            self._run_batch, window_s=batch_window_ms / 1e3,
+            max_batch=self.batch,
+        )
+
+    # -- shape management ----------------------------------------------------
+
+    def _bucketed(self, wave: np.ndarray):
+        T = len(wave) // HOP * HOP
+        frames = T // HOP
+        if frames == 0:
+            raise ValueError(f"input shorter than one hop ({HOP} samples)")
+        if frames > self.frames:
+            raise ValueError(
+                f"input ({frames} frames) exceeds the artifact bucket "
+                f"({self.frames} frames); export a larger artifact"
+            )
+        row = np.zeros(self.frames * HOP, np.float32)
+        row[:T] = wave[:T]
+        return row, T, frames
+
+    def _run_batch(self, key, payloads):
+        import jax.numpy as jnp
+
+        op = key[0]
+        n = len(payloads)
+        waves = np.zeros((self.batch, self.frames * HOP), np.float32)
+        lens = np.full(self.batch, self.frames * HOP, np.int32)
+        for i, (row, T) in enumerate(payloads):
+            waves[i] = row
+            lens[i] = T
+        w, wl = jnp.asarray(waves), jnp.asarray(lens)
+        with self.lock:
+            if op == "reconstruct":
+                out = np.asarray(
+                    self.exported.reconstruct_masked(self.params, w, wl)
+                )
+                return [out[i : i + 1] for i in range(n)]
+            cp, cc, cr, tm = self.exported.encode_masked(self.params, w, wl)
+        cp, cc, cr, tm = (np.asarray(x) for x in (cp, cc, cr, tm))
+        return [
+            (cp[i : i + 1], cc[i : i + 1], cr[i : i + 1], tm[i : i + 1])
+            for i in range(n)
+        ]
+
+    # -- operations ----------------------------------------------------------
+
+    def encode(self, wave: np.ndarray):
+        from facodec_tpu.codec_file import FACodecFile
+
+        row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
+        cp, cc, cr, timbre = self._batcher.submit(("encode",), (row, T))
+        cp, cc, cr = (c[..., :true_frames] for c in (cp, cc, cr))
+        self.requests += 1
+        return FACodecFile(
+            codes_p=cp.astype(np.uint16), codes_c=cc.astype(np.uint16),
+            codes_r=cr.astype(np.uint16), timbre=timbre,
+            sample_rate=SR, hop_length=HOP,
+            original_length=true_frames * HOP,
+        )
+
+    def decode(self, f, use_residual: bool = True) -> np.ndarray:
+        import jax.numpy as jnp
+
+        if not use_residual or f.codes_r is None:
+            raise ValueError(
+                "the exported decode signature requires residual codes"
+            )
+        B, frames = f.codes_p.shape[0], f.codes_p.shape[-1]
+        if frames > self.frames or B > self.batch:
+            raise ValueError(
+                f"codes ({B}x{frames}) exceed the artifact signature "
+                f"({self.batch}x{self.frames})"
+            )
+
+        def pad(c, n_books):
+            full = np.zeros((self.batch, n_books, self.frames), np.int32)
+            full[:B, :, :frames] = c.astype(np.int32)
+            return jnp.asarray(full)
+
+        tm = np.zeros((self.batch, f.timbre.shape[-1]), np.float32)
+        tm[:B] = f.timbre
+        with self.lock:
+            wave = np.asarray(self.exported.decode(
+                self.params, pad(f.codes_p, f.codes_p.shape[1]),
+                pad(f.codes_c, f.codes_c.shape[1]),
+                pad(f.codes_r, f.codes_r.shape[1]), jnp.asarray(tm),
+            ))
+        self.requests += 1
+        # causal decoder: the zero-padded tail frames cannot affect the
+        # retained prefix
+        return wave[:B, : (f.original_length or frames * HOP)]
+
+    def reconstruct(self, wave: np.ndarray) -> np.ndarray:
+        row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
+        out = self._batcher.submit(("reconstruct",), (row, T))
+        self.requests += 1
+        return out[:, : true_frames * HOP]
+
+    def convert(self, source, target):
+        raise RuntimeError(
+            "VC is not available when serving from an artifact "
+            "(run with --config-path/--redecoder-config instead)"
+        )
+
+    def warmup(self) -> float:
+        t0 = time.time()
+        self.reconstruct(np.zeros(self.frames * HOP, np.float32))
+        return time.time() - t0
+
+    def health(self) -> dict:
+        import jax
+
+        dev = jax.devices()[0]
+        return {
+            "status": "ok",
+            "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+            "precision": self.precision,
+            "artifact": True,
+            "bucket_frames": self.frames,
+            "sample_rate": SR,
+            "vc_available": False,
+            "uptime_s": round(time.time() - self.started, 1),
+            "requests": self.requests,
+            "max_batch": self.batch,
+            "device_calls": self._batcher.calls,
+            "max_batch_seen": self._batcher.max_seen,
+        }
+
+
 # ---------------------------------------------------------------------- http
 
 
@@ -430,6 +590,10 @@ def add_args(p):
 
     p.add_argument("--config-path", default=DEFAULT_CONFIG)
     p.add_argument("--ckpt-path", default=None)
+    p.add_argument("--artifact", default=None,
+                   help="serve from an AOT export dir (python -m facodec_tpu "
+                        "export) — no model source or tracing; requires "
+                        "--ckpt-path for the params")
     p.add_argument("--redecoder-config", default=None,
                    help=f"enable /convert (e.g. {DEFAULT_REDECODER_CONFIG})")
     p.add_argument("--redecoder-ckpt", default=None)
@@ -449,8 +613,46 @@ def add_args(p):
     return p
 
 
+def _load_artifact_params(ckpt_path: str):
+    """Params for artifact serving WITHOUT model source: torch .bin via the
+    key-rewrite converter, or an Orbax training checkpoint."""
+    import os
+
+    if ckpt_path.endswith((".bin", ".pth", ".pt")):
+        from facodec_tpu.utils.checkpoint import load_torch_checkpoint_file
+
+        conv = load_torch_checkpoint_file(ckpt_path)
+        return {k: conv[k] for k in ("encoder", "quantizer", "decoder")}
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+    return {k: restored["params"][k] for k in ("encoder", "quantizer", "decoder")}
+
+
 def main(args) -> int:
     from facodec_tpu.api import FACodec, FARedecoder
+
+    if args.artifact:
+        if not args.ckpt_path:
+            print("--artifact requires --ckpt-path (the params)")
+            return 2
+        service = ArtifactService(
+            args.artifact, _load_artifact_params(args.ckpt_path),
+            batch_window_ms=args.batch_window_ms,
+        )
+        if not args.no_warmup:
+            print(f"warmup: compiling the artifact program...")
+            print(f"warmup done in {service.warmup():.1f}s")
+        server = make_server(service, args.host, args.port)
+        print(f"facodec_tpu serving artifact on "
+              f"http://{args.host}:{server.server_address[1]}")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.server_close()
+        return 0
 
     codec = FACodec.from_config(
         args.config_path, args.ckpt_path, precision=args.precision

@@ -20,6 +20,9 @@ Exported functions (export_codec):
     encode        (params, wave (B, T) f32)        -> (codes_p, codes_c, codes_r, timbre)
     decode        (params, cp, cc, cr, timbre)     -> wave (B, T) f32
     reconstruct   (params, wave)                   -> wave
+    encode_masked / reconstruct_masked add a lens (B,) i32 arg — the
+    bucketed-serving variants (zero-padded request, timbre pooling masked
+    to the true length) that `serve --artifact` runs.
 Shapes are static per artifact (bucketed serving semantics — cli/serve.py);
 export one artifact per (batch, seconds) signature you deploy.
 """
@@ -83,7 +86,35 @@ def _codec_fns(codec) -> Dict[str, Any]:
                 :, :, 0
             ].astype(jnp.float32)
 
-    return {"encode": encode, "decode": decode, "reconstruct": reconstruct}
+    def encode_masked(params, wave, lens):
+        # bucketed-serving variant (cli/serve.py semantics): the request is
+        # zero-padded to the artifact length; timbre pooling is masked to
+        # the true length so padding doesn't dilute the global vector
+        # (reference modules/quantize.py:375-382 pools the full utterance)
+        with policy(enc_prec):
+            z = enc.apply({"params": params["encoder"]}, wave[:, :, None])
+            _, _, _, _, timbre, codes = qt.apply(
+                {"params": params["quantizer"]}, z, wave, n_c=n_c,
+                full_waves=wave, wave_lens=lens, return_codes=True,
+            )
+            return codes[0], codes[1], codes[2], timbre
+
+    def reconstruct_masked(params, wave, lens):
+        with policy(enc_prec):
+            z = enc.apply({"params": params["encoder"]}, wave[:, :, None])
+            outs, *_ = qt.apply(
+                {"params": params["quantizer"]}, z, wave, n_c=n_c,
+                full_waves=wave, wave_lens=lens, return_codes=True,
+            )
+        with policy(dec_prec):
+            return dec.apply({"params": params["decoder"]}, outs)[
+                :, :, 0
+            ].astype(jnp.float32)
+
+    return {
+        "encode": encode, "decode": decode, "reconstruct": reconstruct,
+        "encode_masked": encode_masked, "reconstruct_masked": reconstruct_masked,
+    }
 
 
 def _spec(tree):
@@ -116,11 +147,14 @@ def export_codec(
     timbre = jax.ShapeDtypeStruct((batch, timbre_dim), jnp.float32)
     pspec = _spec(codec.params)
 
+    lens = jax.ShapeDtypeStruct((batch,), jnp.int32)
     fns = _codec_fns(codec)
     args = {
         "encode": (pspec, wave),
         "decode": (pspec, cp, cc, cr, timbre),
         "reconstruct": (pspec, wave),
+        "encode_masked": (pspec, wave, lens),
+        "reconstruct_masked": (pspec, wave, lens),
     }
     kw = {"platforms": tuple(platforms)} if platforms else {}
 
