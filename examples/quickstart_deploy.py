@@ -21,7 +21,6 @@ device call; batch 1 underfills the chip).
 """
 
 import argparse
-import base64  # noqa: F401  (kept: the /convert endpoint uses base64 bodies)
 import json
 import os
 import sys

@@ -50,20 +50,31 @@ def _shard_batch_args(mesh, arrays):
     return out, B
 
 
-def _load_params(ckpt_path: str, models: Dict[str, Any], templates) -> Dict[str, Any]:
+def load_inference_params(
+    ckpt_path: str, keys=("encoder", "quantizer", "decoder"), templates=None,
+) -> Dict[str, Any]:
+    """Load inference params from EITHER checkpoint format: a torch
+    `pytorch_model.bin` (key-rewrite conversion; validated against
+    `templates` when given) or an Orbax training checkpoint directory
+    (restored without a template — training checkpoints carry all five
+    modules, inference needs a subset). Also the loader behind artifact
+    serving (cli/serve.py), where no model source exists to build
+    templates from."""
     if ckpt_path.endswith((".bin", ".pth", ".pt")):
         from facodec_tpu.utils.checkpoint import load_torch_checkpoint_file
 
         converted = load_torch_checkpoint_file(ckpt_path, templates)
-        return {k: converted[k] for k in models if k in converted}
-    # orbax directory (training checkpoint): restore without a template —
-    # training checkpoints carry all five modules, inference needs three
+        return {k: converted[k] for k in keys if k in converted}
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(ckpt_path))
     saved = restored["params"]
-    return {k: saved[k] for k in models}
+    return {k: saved[k] for k in keys}
+
+
+def _load_params(ckpt_path: str, models: Dict[str, Any], templates) -> Dict[str, Any]:
+    return load_inference_params(ckpt_path, tuple(models), templates)
 
 
 @dataclass

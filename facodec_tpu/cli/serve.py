@@ -123,7 +123,7 @@ class _MicroBatcher:
 
     def submit(self, key, payload):
         item = {"payload": payload, "done": threading.Event(),
-                "result": None, "error": None}
+                "result": None, "error": None, "ts": time.monotonic()}
         with self._cv:
             if self._stop:
                 raise RuntimeError("micro-batcher closed")
@@ -136,19 +136,32 @@ class _MicroBatcher:
 
     def _loop(self):
         while True:
+            # dispatch order is FIFO by each queue's HEAD age (never "the
+            # fullest queue" — that starves sparse buckets under sustained
+            # load on a busy one), and an item only waits out whatever is
+            # LEFT of its window, so multiple active buckets don't stack
+            # whole windows of latency on each other
             with self._cv:
                 while not self._stop and not any(self._q.values()):
                     self._cv.wait()
                 if self._stop:
+                    for q in self._q.values():
+                        for it in q:
+                            it["error"] = RuntimeError("micro-batcher closed")
+                            it["done"].set()
+                    self._q.clear()
                     return
-                ready = max(len(q) for q in self._q.values())
-            if ready < self.max_batch and self.window_s > 0:
-                time.sleep(self.window_s)  # let a burst accumulate
+                key = min(self._q, key=lambda k: self._q[k][0]["ts"])
+                head_ts = self._q[key][0]["ts"]
+                ready = len(self._q[key])
+            if ready < self.max_batch:
+                remaining = self.window_s - (time.monotonic() - head_ts)
+                if remaining > 0:
+                    time.sleep(remaining)
             with self._cv:
-                if not any(self._q.values()):
+                q = self._q.get(key)
+                if not q:
                     continue
-                key = max(self._q, key=lambda k: len(self._q[k]))
-                q = self._q[key]
                 items = [q.popleft() for _ in range(min(self.max_batch, len(q)))]
                 if not q:
                     del self._q[key]
@@ -165,6 +178,8 @@ class _MicroBatcher:
                 it["done"].set()
 
     def close(self):
+        """Stop the worker; queued-but-undispatched items fail with
+        'micro-batcher closed' instead of hanging their submitters."""
         with self._cv:
             self._stop = True
             self._cv.notify_all()
@@ -195,6 +210,7 @@ class CodecService:
         self.lock = threading.Lock()
         self.started = time.time()
         self.requests = 0
+        self._stats_lock = threading.Lock()  # += from concurrent handlers
         self._batcher = _MicroBatcher(
             self._run_batch, window_s=batch_window_ms / 1e3,
             max_batch=self.max_batch,
@@ -231,6 +247,11 @@ class CodecService:
 
         self._enc = jax.jit(encode_masked)
         self._dec = jax.jit(decode_outs)
+
+
+    def _count_request(self):
+        with self._stats_lock:
+            self.requests += 1
 
     # -- shape management ----------------------------------------------------
 
@@ -286,7 +307,7 @@ class CodecService:
         row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
         cp, cc, cr, timbre = self._batcher.submit(("encode", len(row)), (row, T))
         cp, cc, cr = (c[..., :true_frames] for c in (cp, cc, cr))
-        self.requests += 1
+        self._count_request()
         return FACodecFile(
             codes_p=cp.astype(np.uint16), codes_c=cc.astype(np.uint16),
             codes_r=cr.astype(np.uint16), timbre=timbre,
@@ -297,7 +318,7 @@ class CodecService:
     def decode(self, f, use_residual: bool = True) -> np.ndarray:
         frames = f.codes_p.shape[-1]
         with self.lock:
-            self.requests += 1
+            self._count_request()
             if frames > self.stream_threshold_frames:
                 return self.codec.decode_streaming(f, use_residual=use_residual)
             return self.codec.decode(f, use_residual=use_residual)
@@ -308,7 +329,7 @@ class CodecService:
             return self.decode(self.encode(wave))
         row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
         out = self._batcher.submit(("reconstruct", len(row)), (row, T))
-        self.requests += 1
+        self._count_request()
         return out[:, : true_frames * HOP]
 
     def convert(self, source: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -380,10 +401,16 @@ class ArtifactService:
         self.lock = threading.Lock()
         self.started = time.time()
         self.requests = 0
+        self._stats_lock = threading.Lock()  # += from concurrent handlers
         self._batcher = _MicroBatcher(
             self._run_batch, window_s=batch_window_ms / 1e3,
             max_batch=self.batch,
         )
+
+
+    def _count_request(self):
+        with self._stats_lock:
+            self.requests += 1
 
     # -- shape management ----------------------------------------------------
 
@@ -433,7 +460,7 @@ class ArtifactService:
         row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
         cp, cc, cr, timbre = self._batcher.submit(("encode",), (row, T))
         cp, cc, cr = (c[..., :true_frames] for c in (cp, cc, cr))
-        self.requests += 1
+        self._count_request()
         return FACodecFile(
             codes_p=cp.astype(np.uint16), codes_c=cc.astype(np.uint16),
             codes_r=cr.astype(np.uint16), timbre=timbre,
@@ -468,7 +495,7 @@ class ArtifactService:
                 pad(f.codes_c, f.codes_c.shape[1]),
                 pad(f.codes_r, f.codes_r.shape[1]), jnp.asarray(tm),
             ))
-        self.requests += 1
+        self._count_request()
         # causal decoder: the zero-padded tail frames cannot affect the
         # retained prefix
         return wave[:B, : (f.original_length or frames * HOP)]
@@ -476,7 +503,7 @@ class ArtifactService:
     def reconstruct(self, wave: np.ndarray) -> np.ndarray:
         row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
         out = self._batcher.submit(("reconstruct",), (row, T))
-        self.requests += 1
+        self._count_request()
         return out[:, : true_frames * HOP]
 
     def convert(self, source, target):
@@ -613,22 +640,6 @@ def add_args(p):
     return p
 
 
-def _load_artifact_params(ckpt_path: str):
-    """Params for artifact serving WITHOUT model source: torch .bin via the
-    key-rewrite converter, or an Orbax training checkpoint."""
-    import os
-
-    if ckpt_path.endswith((".bin", ".pth", ".pt")):
-        from facodec_tpu.utils.checkpoint import load_torch_checkpoint_file
-
-        conv = load_torch_checkpoint_file(ckpt_path)
-        return {k: conv[k] for k in ("encoder", "quantizer", "decoder")}
-    import orbax.checkpoint as ocp
-
-    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
-    return {k: restored["params"][k] for k in ("encoder", "quantizer", "decoder")}
-
-
 def main(args) -> int:
     from facodec_tpu.api import FACodec, FARedecoder
 
@@ -636,8 +647,10 @@ def main(args) -> int:
         if not args.ckpt_path:
             print("--artifact requires --ckpt-path (the params)")
             return 2
+        from facodec_tpu.api import load_inference_params
+
         service = ArtifactService(
-            args.artifact, _load_artifact_params(args.ckpt_path),
+            args.artifact, load_inference_params(args.ckpt_path),
             batch_window_ms=args.batch_window_ms,
         )
         if not args.no_warmup:

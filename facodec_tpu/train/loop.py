@@ -124,7 +124,10 @@ def run_training(
     # F0_path checkpoint exists, the JAX JDC runs inside the jitted step on
     # each mel segment — no offline pre-extraction needed for F0. Targets
     # from cli/extract_targets.py (batch["f0"]) are used otherwise.
-    # `inline_f0: false` forces the offline path even when the blob exists.
+    # `inline_f0: false` forces the offline path even when the blob exists —
+    # ALSO the remedy if the grown step module trips the tunneled-TPU
+    # compile helper's memory cap (HTTP 500 "subprocess exit signal
+    # SIGKILL"; see CLAUDE.md: shrink/split the traced graph).
     f0_teacher = None
     f0_path = cfg.get("F0_path", "")
     if cfg.get("inline_f0", True) and f0_path and os.path.exists(f0_path):

@@ -66,17 +66,15 @@ def main() -> int:
             batch_window_ms=args.batch_window_ms,
         )
         svc.warmup()
-        # pre-compile the full batch size so timing measures steady state
-        if max_batch > 1:
-            done = threading.Barrier(max_batch + 1)
-
-            def prime(i):
-                svc.reconstruct(waves[i % len(waves)])
-                done.wait()
-
-            for i in range(max_batch):
-                threading.Thread(target=prime, args=(i,), daemon=True).start()
-            done.wait()
+        # pre-compile EVERY power-of-two batch program the batcher can emit
+        # (partial bursts pad to intermediate sizes; a compile inside the
+        # timed region would corrupt the steady-state req/s)
+        Tb = svc.bucket_frames * HOP
+        row = np.zeros(Tb, np.float32)
+        n = 2
+        while n <= max_batch:
+            svc._run_batch(("reconstruct", Tb), [(row, Tb)] * n)
+            n *= 2
 
         n_left = [args.requests]
         lock = threading.Lock()
