@@ -5,6 +5,7 @@ this is the deployable equivalent — a dependency-free HTTP daemon (stdlib
 `http.server`) exposing the same operations as bytes-in/bytes-out endpoints:
 
   GET  /health            liveness + device + compiled-bucket inventory
+  GET  /metrics           Prometheus text: counters + per-op latency quantiles
   POST /reconstruct       WAV body        -> WAV   (codec round trip)
   POST /encode            WAV body        -> .fac  (factorized codes)
   POST /decode            .fac body       -> WAV   (?residual=0 drops r-codes)
@@ -48,6 +49,7 @@ Usage:
 from __future__ import annotations
 
 import base64
+import collections
 import io
 import json
 import threading
@@ -106,8 +108,6 @@ class _MicroBatcher:
     `run_batch(key, payloads)`, and distributed the per-payload results."""
 
     def __init__(self, run_batch, window_s: float = 0.005, max_batch: int = 8):
-        import collections
-
         self._run = run_batch
         self.window_s = window_s
         self.max_batch = max_batch
@@ -211,6 +211,9 @@ class CodecService:
         self.started = time.time()
         self.requests = 0
         self._stats_lock = threading.Lock()  # += from concurrent handlers
+        self._lat = collections.defaultdict(
+            lambda: collections.deque(maxlen=512)  # /metrics latency window
+        )
         self._batcher = _MicroBatcher(
             self._run_batch, window_s=batch_window_ms / 1e3,
             max_batch=self.max_batch,
@@ -249,9 +252,11 @@ class CodecService:
         self._dec = jax.jit(decode_outs)
 
 
-    def _count_request(self):
+    def _count_request(self, op=None, t0=None):
         with self._stats_lock:
             self.requests += 1
+            if op is not None:
+                self._lat[op].append(time.perf_counter() - t0)
 
     # -- shape management ----------------------------------------------------
 
@@ -300,6 +305,7 @@ class CodecService:
         """float wave -> FACodecFile (bucketed or exact-streaming)."""
         from facodec_tpu.codec_file import FACodecFile
 
+        t0 = time.perf_counter()
         frames = len(wave) // HOP
         if frames > self.stream_threshold_frames:
             with self.lock:
@@ -307,7 +313,7 @@ class CodecService:
         row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
         cp, cc, cr, timbre = self._batcher.submit(("encode", len(row)), (row, T))
         cp, cc, cr = (c[..., :true_frames] for c in (cp, cc, cr))
-        self._count_request()
+        self._count_request("encode", t0)
         return FACodecFile(
             codes_p=cp.astype(np.uint16), codes_c=cc.astype(np.uint16),
             codes_r=cr.astype(np.uint16), timbre=timbre,
@@ -316,20 +322,24 @@ class CodecService:
         )
 
     def decode(self, f, use_residual: bool = True) -> np.ndarray:
+        t0 = time.perf_counter()
         frames = f.codes_p.shape[-1]
         with self.lock:
-            self._count_request()
             if frames > self.stream_threshold_frames:
-                return self.codec.decode_streaming(f, use_residual=use_residual)
-            return self.codec.decode(f, use_residual=use_residual)
+                out = self.codec.decode_streaming(f, use_residual=use_residual)
+            else:
+                out = self.codec.decode(f, use_residual=use_residual)
+        self._count_request("decode", t0)
+        return out
 
     def reconstruct(self, wave: np.ndarray) -> np.ndarray:
+        t0 = time.perf_counter()
         frames = len(wave) // HOP
         if frames > self.stream_threshold_frames:
             return self.decode(self.encode(wave))
         row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
         out = self._batcher.submit(("reconstruct", len(row)), (row, T))
-        self._count_request()
+        self._count_request("reconstruct", t0)
         return out[:, : true_frames * HOP]
 
     def convert(self, source: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -340,11 +350,14 @@ class CodecService:
         one program per distinct source length)."""
         if self.redecoder is None:
             raise RuntimeError("no redecoder configured (--redecoder-config)")
+        t0 = time.perf_counter()
         f = self.encode(source)
         row, T, _ = self._bucketed(np.asarray(target, np.float32))
         _, _, _, timbre = self._batcher.submit(("encode", len(row)), (row, T))
         with self.lock:
-            return self.redecoder.resynthesize(f, timbre)
+            out = self.redecoder.resynthesize(f, timbre)
+        self._count_request("convert", t0)
+        return out
 
     def warmup(self) -> float:
         """Compile the first bucket (encode+decode); returns seconds taken."""
@@ -402,15 +415,20 @@ class ArtifactService:
         self.started = time.time()
         self.requests = 0
         self._stats_lock = threading.Lock()  # += from concurrent handlers
+        self._lat = collections.defaultdict(
+            lambda: collections.deque(maxlen=512)  # /metrics latency window
+        )
         self._batcher = _MicroBatcher(
             self._run_batch, window_s=batch_window_ms / 1e3,
             max_batch=self.batch,
         )
 
 
-    def _count_request(self):
+    def _count_request(self, op=None, t0=None):
         with self._stats_lock:
             self.requests += 1
+            if op is not None:
+                self._lat[op].append(time.perf_counter() - t0)
 
     # -- shape management ----------------------------------------------------
 
@@ -457,10 +475,11 @@ class ArtifactService:
     def encode(self, wave: np.ndarray):
         from facodec_tpu.codec_file import FACodecFile
 
+        t0 = time.perf_counter()
         row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
         cp, cc, cr, timbre = self._batcher.submit(("encode",), (row, T))
         cp, cc, cr = (c[..., :true_frames] for c in (cp, cc, cr))
-        self._count_request()
+        self._count_request("encode", t0)
         return FACodecFile(
             codes_p=cp.astype(np.uint16), codes_c=cc.astype(np.uint16),
             codes_r=cr.astype(np.uint16), timbre=timbre,
@@ -471,6 +490,7 @@ class ArtifactService:
     def decode(self, f, use_residual: bool = True) -> np.ndarray:
         import jax.numpy as jnp
 
+        t0 = time.perf_counter()
         if not use_residual or f.codes_r is None:
             raise ValueError(
                 "the exported decode signature requires residual codes"
@@ -495,15 +515,16 @@ class ArtifactService:
                 pad(f.codes_c, f.codes_c.shape[1]),
                 pad(f.codes_r, f.codes_r.shape[1]), jnp.asarray(tm),
             ))
-        self._count_request()
+        self._count_request("decode", t0)
         # causal decoder: the zero-padded tail frames cannot affect the
         # retained prefix
         return wave[:B, : (f.original_length or frames * HOP)]
 
     def reconstruct(self, wave: np.ndarray) -> np.ndarray:
+        t0 = time.perf_counter()
         row, T, true_frames = self._bucketed(np.asarray(wave, np.float32))
         out = self._batcher.submit(("reconstruct",), (row, T))
-        self._count_request()
+        self._count_request("reconstruct", t0)
         return out[:, : true_frames * HOP]
 
     def convert(self, source, target):
@@ -537,6 +558,37 @@ class ArtifactService:
         }
 
 
+def render_metrics(service) -> str:
+    """Prometheus text exposition: request/device-call counters + per-op
+    latency quantiles over a 512-sample sliding window. Works for both
+    CodecService and ArtifactService (same stats surface)."""
+    h = service.health()
+    lines = [
+        "# TYPE facodec_requests_total counter",
+        f"facodec_requests_total {h['requests']}",
+        "# TYPE facodec_device_calls_total counter",
+        f"facodec_device_calls_total {h['device_calls']}",
+        "# TYPE facodec_max_batch_seen gauge",
+        f"facodec_max_batch_seen {h['max_batch_seen']}",
+        "# TYPE facodec_uptime_seconds gauge",
+        f"facodec_uptime_seconds {h['uptime_s']}",
+        "# TYPE facodec_request_latency_seconds summary",
+    ]
+    with service._stats_lock:
+        snap = {op: list(d) for op, d in service._lat.items()}
+    for op, xs in sorted(snap.items()):
+        for q in (0.5, 0.9, 0.99):
+            v = float(np.quantile(np.asarray(xs), q))
+            lines.append(
+                f'facodec_request_latency_seconds'
+                f'{{op="{op}",quantile="{q}"}} {v:.6f}'
+            )
+        lines.append(
+            f'facodec_request_latency_seconds_count{{op="{op}"}} {len(xs)}'
+        )
+    return "\n".join(lines) + "\n"
+
+
 # ---------------------------------------------------------------------- http
 
 
@@ -564,8 +616,14 @@ def make_handler(service: CodecService):
             return self.rfile.read(n)
 
         def do_GET(self):
-            if self.path.split("?")[0] == "/health":
+            path = self.path.split("?")[0]
+            if path == "/health":
                 return self._json(200, service.health())
+            if path == "/metrics":
+                return self._send(
+                    200, render_metrics(service).encode(),
+                    "text/plain; version=0.0.4",
+                )
             return self._json(404, {"error": "unknown path"})
 
         def do_POST(self):

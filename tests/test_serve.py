@@ -155,6 +155,10 @@ def test_http_endpoints(service):
         health = json.loads(urllib.request.urlopen(f"{base}/health").read())
         assert health["status"] == "ok" and health["vc_available"] is False
 
+        metrics = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert "facodec_requests_total" in metrics
+        assert "facodec_device_calls_total" in metrics
+
         blob = write_wav_bytes(tone(0.6))
         req = urllib.request.Request(f"{base}/reconstruct", data=blob, method="POST")
         resp = urllib.request.urlopen(req)
@@ -172,6 +176,11 @@ def test_http_endpoints(service):
             f"{base}/decode?residual=0", data=fac, method="POST"
         )
         assert urllib.request.urlopen(req).read()[:4] == b"RIFF"
+
+        # after traffic, /metrics carries per-op latency quantiles
+        metrics = urllib.request.urlopen(f"{base}/metrics").read().decode()
+        assert 'facodec_request_latency_seconds{op="reconstruct",quantile="0.5"}' in metrics
+        assert 'facodec_request_latency_seconds{op="decode",quantile="0.99"}' in metrics
 
         # VC without a redecoder -> 503
         body = json.dumps({
