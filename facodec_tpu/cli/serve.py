@@ -13,6 +13,10 @@ this is the deployable equivalent — a dependency-free HTTP daemon (stdlib
                                           -> WAV   (zero-shot VC; 503 until
                                                     a redecoder is configured)
 
+With --stream-port N, a second TCP listener serves LIVE duplex PCM streaming
+(real-time reconstruction / zero-shot VC with one-chunk latency) through the
+exact stateful session — framed protocol in cli/stream_serve.py.
+
 TPU-native serving disciplines (what makes this more than a file-CLI loop):
 
   * STATIC SHAPES. Every request wave is zero-padded up to a length bucket
@@ -210,6 +214,7 @@ class CodecService:
         self.lock = threading.Lock()
         self.started = time.time()
         self.requests = 0
+        self.stream_port = None  # set when a live-stream TCP server attaches
         self._stats_lock = threading.Lock()  # += from concurrent handlers
         self._lat = collections.defaultdict(
             lambda: collections.deque(maxlen=512)  # /metrics latency window
@@ -381,6 +386,7 @@ class CodecService:
             "max_batch": self.max_batch,
             "device_calls": self._batcher.calls,
             "max_batch_seen": self._batcher.max_seen,
+            "stream_port": self.stream_port,
         }
 
 
@@ -695,6 +701,10 @@ def add_args(p):
     p.add_argument("--batch-window-ms", type=float, default=5.0,
                    help="how long a request waits for same-bucket peers")
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--stream-port", type=int, default=None,
+                   help="also serve live duplex PCM streaming (real-time "
+                        "reconstruction / VC) on this TCP port — see "
+                        "cli/stream_serve.py for the framed protocol")
     return p
 
 
@@ -744,6 +754,19 @@ def main(args) -> int:
         print(f"warmup: compiling first bucket ({service.bucket_frames} frames)...")
         print(f"warmup done in {service.warmup():.1f}s")
     server = make_server(service, args.host, args.port)
+    stream_server = None
+    if args.stream_port is not None:
+        from facodec_tpu.cli.stream_serve import StreamingService, make_stream_server
+
+        stream_server = make_stream_server(
+            StreamingService(service), args.host, args.stream_port
+        )
+        service.stream_port = stream_server.server_address[1]
+        threading.Thread(
+            target=stream_server.serve_forever, daemon=True,
+            name="facodec-stream-serve",
+        ).start()
+        print(f"facodec_tpu live-streaming on tcp://{args.host}:{service.stream_port}")
     print(f"facodec_tpu serving on http://{args.host}:{server.server_address[1]}")
     try:
         server.serve_forever()
@@ -751,4 +774,6 @@ def main(args) -> int:
         pass
     finally:
         server.server_close()
+        if stream_server is not None:
+            stream_server.server_close()
     return 0

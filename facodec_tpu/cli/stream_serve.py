@@ -1,0 +1,333 @@
+"""Live duplex streaming server: real-time voice conversion over a socket.
+
+The reference advertises "fully causal ... can be used for real-time voice
+conversion" (reference README.md:105-107) but ships no live transport — its
+only serving surface is the file-based gradio demo (webui.py:54-81). This
+module is the missing production piece: a TCP server that runs the EXACT
+stateful streaming session (models/streaming.StreamingFACodec) per
+connection, so a client can push microphone-sized PCM chunks and receive
+reconstructed (or timbre-converted) audio with one-chunk latency.
+
+Protocol (all little-endian, audio = float32 PCM mono at 24 kHz):
+
+  client -> server   one JSON header line terminated by "\n":
+                       {"chunk_frames": 4,            # latent frames/chunk
+                        "timbre_wav": "<base64 WAV>"} # optional VC target
+  server -> client   one JSON status line:
+                       {"status": "ok", "chunk_frames": C,
+                        "prime_samples": P, "sample_rate": 24000}
+                     (or {"status": "error", "error": ...} then close)
+  client -> server   frames: <u32 byte length><f32le PCM payload>;
+                     a zero-length frame ends the stream
+  server -> client   frames of output PCM as chunks are emitted (nothing
+                     until the priming buffer fills), then the flush tail,
+                     then a zero-length frame
+
+Semantics:
+
+  * With "timbre_wav": zero-shot VC — every chunk is decoded under the
+    TARGET utterance's timbre vector (AdaIN injection, reference
+    quantize.py:444-449; exactness vs the one-shot timbre-swap is
+    tests/test_streaming.py::test_streaming_timbre_swap_vc_exact). The
+    target vector is computed once per connection through the service's
+    bucketed masked encoder.
+  * Without it: the timbre is estimated causally from the stream's own
+    priming prefix (the first prime_samples) — a live stream cannot pool
+    the full utterance the way the one-shot forward does
+    (quantize.py:375-382).
+  * Client frames may be any size; the server re-chunks internally. For
+    input that is an exact multiple of the chunk size, the emitted audio is
+    bit-identical to the interactive session loop; otherwise the tail is
+    zero-padded to a chunk boundary and the output trimmed to the input's
+    frame span — the retained samples are exact because every model in the
+    path is causal.
+  * Streams shorter than the priming requirement are zero-padded up to it
+    (same causal-prefix argument), so arbitrarily short streams still
+    produce output.
+
+The per-chunk jitted step programs are shared across connections (cached
+per chunk_frames); each connection owns only its state pytrees. Device
+dispatch serializes on the owning CodecService's lock, and per-chunk
+latency lands in the service's /metrics window under op="stream_chunk".
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import socketserver
+import struct
+import threading
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+SR = 24000
+HOP = 300
+MAX_HEADER_BYTES = 32 * 1024 * 1024  # base64 timbre wav rides in the header
+MAX_FRAME_BYTES = 16 * 1024 * 1024
+MAX_CHUNK_FRAMES = 64
+
+
+# ---------------------------------------------------------------- framing
+
+
+def read_exact(rfile, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        part = rfile.read(n - len(buf))
+        if not part:
+            raise ConnectionError("peer closed mid-frame")
+        buf += part
+    return buf
+
+
+def read_frame(rfile) -> Optional[np.ndarray]:
+    """One <u32 len><f32le PCM> frame; None = end-of-stream marker."""
+    (n,) = struct.unpack("<I", read_exact(rfile, 4))
+    if n == 0:
+        return None
+    if n > MAX_FRAME_BYTES or n % 4:
+        raise ValueError(f"bad frame length {n}")
+    return np.frombuffer(read_exact(rfile, n), np.float32)
+
+
+def write_frame(wfile, wave: Optional[np.ndarray]) -> None:
+    if wave is None:
+        wfile.write(struct.pack("<I", 0))
+        return
+    payload = np.ascontiguousarray(wave, np.float32).tobytes()
+    wfile.write(struct.pack("<I", len(payload)) + payload)
+
+
+# ---------------------------------------------------------------- service
+
+
+class StreamingService:
+    """Session factory + timbre plumbing over a CodecService.
+
+    Owns nothing device-side beyond the cached StreamingFACodec step
+    programs; reuses the CodecService's codec, device lock, micro-batched
+    masked encoder (for timbre vectors), and /metrics stats surface."""
+
+    def __init__(self, service):
+        self.service = service
+        self._sessions: Dict[int, object] = {}
+        self._cache_lock = threading.Lock()
+
+    def session(self, chunk_frames: int):
+        from facodec_tpu.models.streaming import StreamingFACodec
+
+        with self._cache_lock:
+            sess = self._sessions.get(chunk_frames)
+            if sess is None:
+                codec = self.service.codec
+                sess = StreamingFACodec(
+                    codec.models["encoder"],
+                    codec.models["quantizer"],
+                    codec.models["decoder"],
+                    codec.params,
+                    chunk_frames=chunk_frames,
+                    n_c=codec.n_c,
+                )
+                self._sessions[chunk_frames] = sess
+            return sess
+
+    def timbre_from_wave(self, wave: np.ndarray) -> np.ndarray:
+        """(1, d) timbre vector via the service's bucketed masked encoder
+        (exact under bucket padding; micro-batches with regular traffic)."""
+        return self.service.encode(wave).timbre
+
+    def _record_chunk(self, dt: float) -> None:
+        svc = self.service
+        with svc._stats_lock:
+            svc._lat["stream_chunk"].append(dt)
+
+    # ------------------------------------------------------------ session run
+    def run_connection(self, rfile, wfile) -> None:
+        """Drive one full protocol exchange on an open socket pair."""
+        import jax.numpy as jnp
+
+        try:
+            header = json.loads(rfile.readline(MAX_HEADER_BYTES))
+            C = int(header.get("chunk_frames", 4))
+            if not 1 <= C <= MAX_CHUNK_FRAMES:
+                raise ValueError(f"chunk_frames must be in [1, {MAX_CHUNK_FRAMES}]")
+            timbre = None
+            if header.get("timbre_wav"):
+                from facodec_tpu.cli.serve import read_wav_bytes
+
+                ref = read_wav_bytes(base64.b64decode(header["timbre_wav"]))
+                timbre = jnp.asarray(self.timbre_from_wave(ref))
+            sess = self.session(C)
+        except Exception as e:  # noqa: BLE001 — protocol boundary
+            wfile.write(json.dumps(
+                {"status": "error", "error": f"{type(e).__name__}: {e}"}
+            ).encode() + b"\n")
+            return
+        wfile.write(json.dumps({
+            "status": "ok",
+            "chunk_frames": C,
+            "prime_samples": sess.prime_frames * HOP,
+            "sample_rate": SR,
+            "vc": timbre is not None,
+        }).encode() + b"\n")
+        wfile.flush()
+
+        step = C * HOP
+        max_samples = self.service.max_frames * HOP
+        est, dst = sess.init_encode_state(1), sess.init_decode_state(1)
+        buf = np.zeros(0, np.float32)
+        prefix_fed = []  # chunks fed pre-timbre (self-timbre mode)
+        accepted = 0  # samples accepted into the stream (capped)
+
+        def target_out() -> int:
+            return accepted // HOP * HOP
+
+        emitted = 0  # samples written back
+
+        def emit(wave) -> None:
+            nonlocal emitted
+            if wave is None:
+                return
+            chunk = np.asarray(wave)[0]
+            take = min(len(chunk), target_out() - emitted)
+            if take > 0:
+                write_frame(wfile, chunk[:take])
+                wfile.flush()
+                emitted += take
+
+        def process(chunk_np: np.ndarray) -> None:
+            nonlocal est, dst, timbre
+            if timbre is None:
+                # causal self-timbre: estimate from the stream prefix the
+                # moment the priming buffer completes (one-shot pooling over
+                # the whole utterance, quantize.py:375-382, is impossible
+                # live)
+                prefix_fed.append(chunk_np)
+                if sum(len(p) for p in prefix_fed) >= sess.prime_frames * HOP:
+                    timbre = jnp.asarray(
+                        self.timbre_from_wave(np.concatenate(prefix_fed))
+                    )
+                    prefix_fed.clear()
+            t0 = time.perf_counter()
+            with self.service.lock:
+                est, outs, _ = sess.encode_chunk(
+                    est, jnp.asarray(chunk_np)[None, :],
+                    timbre if timbre is not None else jnp.zeros(0),
+                )
+                dst, wave = sess.decode_chunk(dst, outs)
+            if outs is not None:
+                self._record_chunk(time.perf_counter() - t0)
+            emit(wave)
+
+        # live phase: re-chunk client frames into exact steps
+        while True:
+            frame = read_frame(rfile)
+            if frame is None:
+                break
+            room = max(0, max_samples - accepted)
+            if room:
+                buf = np.concatenate([buf, frame[:room]])
+                accepted += min(len(frame), room)
+            while len(buf) >= step:
+                process(buf[:step])
+                buf = buf[step:]
+
+        # tail phase: zero-pad any partial chunk (and, for streams shorter
+        # than the priming requirement, whole zero chunks) until every
+        # retained frame has been emitted — causality keeps the retained
+        # samples exact; only the final frame's mel window sees the pad
+        guard = sess.prime_frames // C + 2
+        while emitted < target_out() and (
+            len(buf) > 0 or not est.primed or emitted + HOP < target_out()
+        ):
+            if guard == 0:
+                break
+            guard -= 1
+            pad = np.zeros(step - len(buf), np.float32)
+            process(np.concatenate([buf, pad]))
+            buf = buf[:0]
+
+        # flush: the one-shot-exact final right-reflect frame — reached
+        # exactly when the input was a whole number of chunks
+        if est.primed and emitted < target_out():
+            with self.service.lock:
+                outs_t, _ = sess.flush_encode(est, timbre)
+                dst, wave_t = sess.decode_chunk(dst, outs_t)
+            emit(wave_t)
+        write_frame(wfile, None)
+        wfile.flush()
+        self.service._count_request()  # one request per stream session
+
+
+def make_stream_server(streaming: StreamingService, host: str = "127.0.0.1",
+                       port: int = 0):
+    """Build (not start) the threaded TCP server; port 0 = ephemeral."""
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            try:
+                streaming.run_connection(self.rfile, self.wfile)
+            except (ConnectionError, BrokenPipeError, ValueError):
+                pass  # peer vanished mid-stream; session state dies with us
+
+    class Server(socketserver.ThreadingTCPServer):
+        daemon_threads = True
+        allow_reuse_address = True
+
+    return Server((host, port), Handler)
+
+
+# ----------------------------------------------------------------- client
+
+
+def stream_wav(host: str, port: int, wave: np.ndarray,
+               chunk_frames: int = 4, send_samples: Optional[int] = None,
+               timbre_wav_bytes: Optional[bytes] = None,
+               ) -> Tuple[np.ndarray, dict]:
+    """Reference client: stream `wave` to a live server in `send_samples`-
+    sized frames (default one chunk), collect the full output. Returns
+    (output wave, server status header)."""
+    import socket
+
+    header: dict = {"chunk_frames": chunk_frames}
+    if timbre_wav_bytes is not None:
+        header["timbre_wav"] = base64.b64encode(timbre_wav_bytes).decode()
+    step = send_samples or chunk_frames * HOP
+    wave = np.asarray(wave, np.float32).reshape(-1)
+
+    with socket.create_connection((host, port)) as sock:
+        rfile = sock.makefile("rb")
+        wfile = sock.makefile("wb")
+        wfile.write(json.dumps(header).encode() + b"\n")
+        wfile.flush()
+        status = json.loads(rfile.readline(MAX_HEADER_BYTES))
+        if status.get("status") != "ok":
+            raise RuntimeError(f"server rejected stream: {status}")
+
+        out_parts = []
+        recv_done = threading.Event()
+
+        def reader():
+            # drain concurrently so neither side blocks on full TCP buffers
+            try:
+                while True:
+                    frame = read_frame(rfile)
+                    if frame is None:
+                        break
+                    out_parts.append(frame)
+            finally:
+                recv_done.set()
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        for i in range(0, len(wave), step):
+            write_frame(wfile, wave[i : i + step])
+        write_frame(wfile, None)
+        wfile.flush()
+        recv_done.wait()
+        t.join()
+    out = np.concatenate(out_parts) if out_parts else np.zeros(0, np.float32)
+    return out, status
