@@ -111,7 +111,62 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
         "rtf_interactive": round(chunk_ms / p50, 2),
         "rtf_device": round(chunk_ms / dev_ms, 2),
         "redecoder_vc": bench_redecoder_vc(chunk_frames, batch),
+        "group_capacity": bench_group_capacity(sess),
     }))
+
+
+def bench_group_capacity(sess) -> dict:
+    """Concurrent-real-time-stream capacity via continuous batching
+    (models/stream_batch.py): per-tick device time of the masked batched
+    step at group sizes B — every tick advances B live streams, so a chip
+    sustains B streams in real time iff tick(B) <= chunk_ms. Reports the
+    measured tick times, the largest swept B meeting the budget, and a
+    linear extrapolation (tick time is ~linear in B past MXU fill).
+
+    The reference has no serving stack; its real-time story is the
+    causality claim (reference README.md:105-107) — one stream, one
+    process. This is the per-chip capacity behind that claim."""
+    import os
+
+    from facodec_tpu.models.stream_batch import BatchedStreamGroup
+
+    sweep = tuple(
+        int(b) for b in os.environ.get(
+            "FACODEC_BENCH_CAPACITY", "8,32,128").split(",")
+    )
+    chunk_ms = sess.chunk_frames * HOP / SR * 1e3
+    step = sess.chunk_frames * HOP
+    ticks = {}
+    for B in sweep:
+        try:
+            group = BatchedStreamGroup(sess, B)
+            waves = jnp.zeros((B, step), jnp.float32)
+            mask = jnp.ones(B, bool)
+            e, d = group.enc_core, group.dec_core
+            w, _, e, d = group._step(
+                sess.params, waves, group.timbre, e, d, mask)
+            float(w[0, -1])  # warm compile + force
+            M, ts = 8, []
+            for _ in range(3):
+                e2, d2 = e, d
+                t0 = time.perf_counter()
+                for _ in range(M):  # state chain amortizes the tunnel RTT
+                    w, _, e2, d2 = group._step(
+                        sess.params, waves, group.timbre, e2, d2, mask)
+                float(w[0, -1])
+                ts.append(time.perf_counter() - t0)
+            ticks[B] = round(min(ts) / M * 1e3, 2)
+        except Exception as e:  # noqa: BLE001 — OOM/compile cap: report, keep smaller B
+            ticks[B] = f"failed: {type(e).__name__}"
+            break
+    ok = [B for B, t in ticks.items() if isinstance(t, float) and t <= chunk_ms]
+    result = {"tick_ms": {str(B): t for B, t in ticks.items()},
+              "chunk_budget_ms": round(chunk_ms, 1)}
+    if ok:
+        B = max(ok)
+        result["sustained_streams_measured"] = B
+        result["sustained_streams_extrapolated"] = int(B * chunk_ms / ticks[B])
+    return result
 
 
 def bench_redecoder_vc(chunk_frames: int = 4, batch: int = 1) -> dict:

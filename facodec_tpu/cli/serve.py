@@ -705,6 +705,14 @@ def add_args(p):
                    help="also serve live duplex PCM streaming (real-time "
                         "reconstruction / VC) on this TCP port — see "
                         "cli/stream_serve.py for the framed protocol")
+    p.add_argument("--stream-group-capacity", type=int, default=8,
+                   help="continuous-batching slots per chunk size: concurrent "
+                        "live streams advance in ONE masked device call per "
+                        "tick (0 = every stream gets a dedicated batch-1 "
+                        "session)")
+    p.add_argument("--stream-group-window-ms", type=float, default=5.0,
+                   help="how long a tick waits (from its oldest pending "
+                        "chunk) for peer streams to stack")
     return p
 
 
@@ -759,7 +767,12 @@ def main(args) -> int:
         from facodec_tpu.cli.stream_serve import StreamingService, make_stream_server
 
         stream_server = make_stream_server(
-            StreamingService(service), args.host, args.stream_port
+            StreamingService(
+                service,
+                group_capacity=args.stream_group_capacity,
+                group_window_ms=args.stream_group_window_ms,
+            ),
+            args.host, args.stream_port,
         )
         service.stream_port = stream_server.server_address[1]
         threading.Thread(

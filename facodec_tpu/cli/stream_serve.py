@@ -45,15 +45,23 @@ Semantics:
     (same causal-prefix argument), so arbitrarily short streams still
     produce output.
 
-The per-chunk jitted step programs are shared across connections (cached
-per chunk_frames); each connection owns only its state pytrees. Device
-dispatch serializes on the owning CodecService's lock, and per-chunk
-latency lands in the service's /metrics window under op="stream_chunk".
+CONTINUOUS BATCHING: concurrent connections with the same chunk size do
+NOT each pay a device call per chunk — they are admitted into slots of a
+`models/stream_batch.BatchedStreamGroup`, and a tick dispatcher advances
+every slot with a pending chunk in ONE masked batched call (batch 1
+underfills the chip ~2.3x vs batch 16 — bench.py batch curve). Streams
+beyond the group capacity fall back to a dedicated batch-1 session.
+Grouped output matches a dedicated session to float tolerance (XLA may
+tile batched reductions differently); solo-path output is bit-identical
+to the interactive session loop. Device dispatch serializes on the owning
+CodecService's lock, and per-chunk/tick latency lands in the service's
+/metrics window under op="stream_chunk".
 """
 
 from __future__ import annotations
 
 import base64
+import collections
 import json
 import socketserver
 import struct
@@ -104,17 +112,233 @@ def write_frame(wfile, wave: Optional[np.ndarray]) -> None:
 # ---------------------------------------------------------------- service
 
 
+class _GroupDispatcher:
+    """Tick scheduler over a BatchedStreamGroup: connection threads
+    `submit(slot, chunk)` and block; a worker collects at most one pending
+    chunk per slot (waiting `window_s` from the oldest for peers), advances
+    the WHOLE group with one device call, and distributes the outputs.
+    join/flush serialize with ticks on the group lock."""
+
+    def __init__(self, svc, group, window_s: float = 0.005):
+        self.svc = svc  # CodecService: device lock + /metrics stats
+        self.group = group
+        self.window_s = window_s
+        self._glock = threading.Lock()  # group-state mutations
+        self._cv = threading.Condition()
+        self._pending: Dict[int, object] = {}  # slot -> deque of items
+        self._stop = False
+        self.ticks = 0
+        self.max_stacked = 0  # most slots advanced by one tick
+        threading.Thread(target=self._loop, name="facodec-stream-ticks",
+                         daemon=True).start()
+
+    def try_join(self, prime_wave, timbre):
+        """(slot, first emission) or None when the group is full."""
+        with self._glock:
+            if self.group.free_slots() == 0:
+                return None
+            with self.svc.lock:
+                slot, first, _ = self.group.join(prime_wave, timbre)
+        return slot, first
+
+    def submit(self, slot: int, chunk: np.ndarray) -> np.ndarray:
+        item = {"chunk": chunk, "done": threading.Event(),
+                "result": None, "error": None, "ts": time.monotonic()}
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("stream dispatcher closed")
+            self._pending.setdefault(slot, collections.deque()).append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def finish(self, slot: int) -> np.ndarray:
+        """Flush the slot's final frame and free it."""
+        with self._glock:
+            with self.svc.lock:
+                wave = self.group.flush(slot)
+            self.group.leave(slot)
+        return wave
+
+    def release(self, slot: int) -> None:
+        with self._glock:
+            self.group.leave(slot)
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._stop and not any(self._pending.values()):
+                    self._cv.wait()
+                if self._stop:
+                    return
+                oldest = min(q[0]["ts"] for q in self._pending.values() if q)
+            remaining = self.window_s - (time.monotonic() - oldest)
+            if remaining > 0:
+                time.sleep(remaining)
+            with self._cv:
+                batch = {}
+                for slot, q in list(self._pending.items()):
+                    if q:
+                        batch[slot] = q.popleft()
+                    if not q:
+                        del self._pending[slot]
+            if not batch:
+                continue
+            t0 = time.perf_counter()
+            try:
+                with self._glock, self.svc.lock:
+                    outs = self.group.tick(
+                        {s: it["chunk"] for s, it in batch.items()}
+                    )
+                for slot, it in batch.items():
+                    it["result"] = outs[slot]
+            except Exception as e:  # noqa: BLE001 — propagate to every waiter
+                for it in batch.values():
+                    it["error"] = e
+            dt = time.perf_counter() - t0
+            with self.svc._stats_lock:
+                self.svc._lat["stream_chunk"].append(dt)
+            self.ticks += 1
+            self.max_stacked = max(self.max_stacked, len(batch))
+            for it in batch.values():
+                it["done"].set()
+
+
+class _ConnEngine:
+    """Per-connection advance engine: buffers the priming span, then runs
+    either in a group slot (one shared device call per tick) or, when the
+    group is full/disabled, a dedicated batch-1 session."""
+
+    def __init__(self, streaming: "StreamingService", chunk_frames: int):
+        self.streaming = streaming
+        self.sess = streaming.session(chunk_frames)
+        self._buffered = []
+        self.mode = None  # None (priming) | "group" | "solo"
+        self._slot = None
+        self._est = None
+        self._dst = None
+
+    @property
+    def primed(self) -> bool:
+        return self.mode is not None
+
+    def feed(self, chunk: np.ndarray, timbre) -> Optional[np.ndarray]:
+        """chunk: exactly chunk_frames*HOP samples. Returns an emitted wave
+        row ((T,) np) or None while priming. `timbre` must be set by the
+        time the priming span completes."""
+        import jax.numpy as jnp
+
+        sess, svc = self.sess, self.streaming.service
+        if self.mode is None:
+            self._buffered.append(chunk)
+            if sum(len(c) for c in self._buffered) < sess.prime_frames * HOP:
+                return None
+            prime = jnp.asarray(np.concatenate(self._buffered))[None, :]
+            self._buffered = []
+            disp = self.streaming.dispatcher(sess.chunk_frames)
+            if disp is not None:
+                joined = disp.try_join(prime, timbre)
+                if joined is not None:
+                    self._slot, first = joined
+                    self.mode = "group"
+                    return np.asarray(first)[0]
+            # group full or disabled: dedicated session
+            self.mode = "solo"
+            self._est = sess.init_encode_state(1)
+            self._dst = sess.init_decode_state(1)
+            t0 = time.perf_counter()
+            with svc.lock:
+                self._est, outs, _ = sess.encode_chunk(self._est, prime, timbre)
+                self._dst, wave = sess.decode_chunk(self._dst, outs)
+            self.streaming._record_chunk(time.perf_counter() - t0)
+            return np.asarray(wave)[0]
+        if self.mode == "group":
+            return self.streaming.dispatcher(sess.chunk_frames).submit(
+                self._slot, chunk
+            )
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        with svc.lock:
+            self._est, outs, _ = sess.encode_chunk(
+                self._est, jnp.asarray(chunk)[None, :], timbre
+            )
+            self._dst, wave = sess.decode_chunk(self._dst, outs)
+        self.streaming._record_chunk(time.perf_counter() - t0)
+        return np.asarray(wave)[0]
+
+    def finish(self, timbre) -> Optional[np.ndarray]:
+        """The final right-reflect frame ((HOP,) np), or None if unprimed.
+        Frees any group slot."""
+        if self.mode == "group":
+            wave = self.streaming.dispatcher(
+                self.sess.chunk_frames
+            ).finish(self._slot)
+            self._slot = None
+            self.mode = "done"
+            return wave
+        if self.mode == "solo":
+            svc = self.streaming.service
+            with svc.lock:
+                outs_t, _ = self.sess.flush_encode(self._est, timbre)
+                self._dst, wave_t = self.sess.decode_chunk(self._dst, outs_t)
+            self.mode = "done"
+            return np.asarray(wave_t)[0]
+        return None
+
+    def close(self) -> None:
+        """Idempotent slot release (normal end after finish = no-op; peer
+        vanished mid-stream = frees the group slot without flushing)."""
+        if self.mode == "group" and self._slot is not None:
+            self.streaming.dispatcher(self.sess.chunk_frames).release(
+                self._slot
+            )
+            self._slot = None
+        self.mode = "done"
+
+
 class StreamingService:
     """Session factory + timbre plumbing over a CodecService.
 
-    Owns nothing device-side beyond the cached StreamingFACodec step
-    programs; reuses the CodecService's codec, device lock, micro-batched
-    masked encoder (for timbre vectors), and /metrics stats surface."""
+    Owns the cached StreamingFACodec step programs and (when group_capacity
+    >= 1) one BatchedStreamGroup per chunk size, so CONCURRENT live streams
+    advance with one shared device call per tick (batch 1 underfills the
+    chip ~2.3x vs batch 16 — bench.py batch curve); reuses the
+    CodecService's codec, device lock, micro-batched masked encoder (for
+    timbre vectors), and /metrics stats surface."""
 
-    def __init__(self, service):
+    def __init__(self, service, group_capacity: int = 8,
+                 group_window_ms: float = 5.0):
         self.service = service
+        self.group_capacity = group_capacity
+        self.group_window_s = group_window_ms / 1e3
         self._sessions: Dict[int, object] = {}
+        self._dispatchers: Dict[int, Optional[_GroupDispatcher]] = {}
         self._cache_lock = threading.Lock()
+
+    def dispatcher(self, chunk_frames: int) -> Optional[_GroupDispatcher]:
+        """The shared tick dispatcher for this chunk size (None when
+        grouping is disabled)."""
+        if self.group_capacity < 1:
+            return None
+        with self._cache_lock:
+            disp = self._dispatchers.get(chunk_frames)
+        if disp is None:
+            from facodec_tpu.models.stream_batch import BatchedStreamGroup
+
+            sess = self.session(chunk_frames)
+            with self._cache_lock:
+                disp = self._dispatchers.get(chunk_frames)
+                if disp is None:
+                    disp = _GroupDispatcher(
+                        self.service,
+                        BatchedStreamGroup(sess, self.group_capacity),
+                        window_s=self.group_window_s,
+                    )
+                    self._dispatchers[chunk_frames] = disp
+        return disp
 
     def session(self, chunk_frames: int):
         from facodec_tpu.models.streaming import StreamingFACodec
@@ -177,7 +401,7 @@ class StreamingService:
 
         step = C * HOP
         max_samples = self.service.max_frames * HOP
-        est, dst = sess.init_encode_state(1), sess.init_decode_state(1)
+        engine = _ConnEngine(self, C)
         buf = np.zeros(0, np.float32)
         prefix_fed = []  # chunks fed pre-timbre (self-timbre mode)
         accepted = 0  # samples accepted into the stream (capped)
@@ -191,7 +415,7 @@ class StreamingService:
             nonlocal emitted
             if wave is None:
                 return
-            chunk = np.asarray(wave)[0]
+            chunk = np.asarray(wave).reshape(-1)
             take = min(len(chunk), target_out() - emitted)
             if take > 0:
                 write_frame(wfile, chunk[:take])
@@ -199,7 +423,7 @@ class StreamingService:
                 emitted += take
 
         def process(chunk_np: np.ndarray) -> None:
-            nonlocal est, dst, timbre
+            nonlocal timbre
             if timbre is None:
                 # causal self-timbre: estimate from the stream prefix the
                 # moment the priming buffer completes (one-shot pooling over
@@ -211,55 +435,48 @@ class StreamingService:
                         self.timbre_from_wave(np.concatenate(prefix_fed))
                     )
                     prefix_fed.clear()
-            t0 = time.perf_counter()
-            with self.service.lock:
-                est, outs, _ = sess.encode_chunk(
-                    est, jnp.asarray(chunk_np)[None, :],
-                    timbre if timbre is not None else jnp.zeros(0),
-                )
-                dst, wave = sess.decode_chunk(dst, outs)
-            if outs is not None:
-                self._record_chunk(time.perf_counter() - t0)
-            emit(wave)
+            emit(engine.feed(chunk_np, timbre))
 
-        # live phase: re-chunk client frames into exact steps
-        while True:
-            frame = read_frame(rfile)
-            if frame is None:
-                break
-            room = max(0, max_samples - accepted)
-            if room:
-                buf = np.concatenate([buf, frame[:room]])
-                accepted += min(len(frame), room)
-            while len(buf) >= step:
-                process(buf[:step])
-                buf = buf[step:]
+        try:
+            # live phase: re-chunk client frames into exact steps
+            while True:
+                frame = read_frame(rfile)
+                if frame is None:
+                    break
+                room = max(0, max_samples - accepted)
+                if room:
+                    buf = np.concatenate([buf, frame[:room]])
+                    accepted += min(len(frame), room)
+                while len(buf) >= step:
+                    process(buf[:step])
+                    buf = buf[step:]
 
-        # tail phase: zero-pad any partial chunk (and, for streams shorter
-        # than the priming requirement, whole zero chunks) until every
-        # retained frame has been emitted — causality keeps the retained
-        # samples exact; only the final frame's mel window sees the pad
-        guard = sess.prime_frames // C + 2
-        while emitted < target_out() and (
-            len(buf) > 0 or not est.primed or emitted + HOP < target_out()
-        ):
-            if guard == 0:
-                break
-            guard -= 1
-            pad = np.zeros(step - len(buf), np.float32)
-            process(np.concatenate([buf, pad]))
-            buf = buf[:0]
+            # tail phase: zero-pad any partial chunk (and, for streams
+            # shorter than the priming requirement, whole zero chunks) until
+            # every retained frame has been emitted — causality keeps the
+            # retained samples exact; only the final frame's mel window sees
+            # the pad
+            guard = sess.prime_frames // C + 2
+            while emitted < target_out() and (
+                len(buf) > 0 or not engine.primed
+                or emitted + HOP < target_out()
+            ):
+                if guard == 0:
+                    break
+                guard -= 1
+                pad = np.zeros(step - len(buf), np.float32)
+                process(np.concatenate([buf, pad]))
+                buf = buf[:0]
 
-        # flush: the one-shot-exact final right-reflect frame — reached
-        # exactly when the input was a whole number of chunks
-        if est.primed and emitted < target_out():
-            with self.service.lock:
-                outs_t, _ = sess.flush_encode(est, timbre)
-                dst, wave_t = sess.decode_chunk(dst, outs_t)
-            emit(wave_t)
-        write_frame(wfile, None)
-        wfile.flush()
-        self.service._count_request()  # one request per stream session
+            # flush: the one-shot-exact final right-reflect frame — reached
+            # exactly when the input was a whole number of chunks
+            if engine.primed and emitted < target_out():
+                emit(engine.finish(timbre))
+            write_frame(wfile, None)
+            wfile.flush()
+            self.service._count_request()  # one request per stream session
+        finally:
+            engine.close()  # idempotent; frees the group slot on any exit
 
 
 def make_stream_server(streaming: StreamingService, host: str = "127.0.0.1",

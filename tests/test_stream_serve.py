@@ -22,18 +22,33 @@ def tone(seconds, hz=220.0, seed=0):
             + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
 
 
-@pytest.fixture(scope="module")
-def live():
-    """(server thread, StreamingService, port) over a tiny codec."""
+def _live_pair(group_capacity):
     from facodec_tpu.api import FACodec
     from facodec_tpu.cli.serve import CodecService
     from facodec_tpu.cli.stream_serve import StreamingService, make_stream_server
 
     codec = FACodec.from_config(TINY, n_c=2)
     service = CodecService(codec, bucket_seconds=0.5)
-    streaming = StreamingService(service)
+    streaming = StreamingService(service, group_capacity=group_capacity)
     server = make_stream_server(streaming, port=0)
     threading.Thread(target=server.serve_forever, daemon=True).start()
+    return streaming, server
+
+
+@pytest.fixture(scope="module")
+def live():
+    """Grouping DISABLED: the dedicated-session path with its bit-exactness
+    guarantees."""
+    streaming, server = _live_pair(group_capacity=0)
+    yield streaming, server.server_address[1]
+    server.shutdown()
+    server.server_close()
+
+
+@pytest.fixture(scope="module")
+def live_grouped():
+    """Continuous batching ON (the serving default)."""
+    streaming, server = _live_pair(group_capacity=4)
     yield streaming, server.server_address[1]
     server.shutdown()
     server.server_close()
@@ -158,6 +173,77 @@ def test_stream_rejects_bad_header(live):
         sock.sendall(json.dumps({"chunk_frames": 9999}).encode() + b"\n")
         line = sock.makefile("rb").readline()
     assert json.loads(line)["status"] == "error"
+
+
+def test_grouped_streams_batch_and_match_solo(live_grouped, live):
+    """Concurrent connections share device ticks (continuous batching) and
+    each stream's output matches the dedicated-session server to float
+    tolerance."""
+    from facodec_tpu.cli.stream_serve import stream_wav
+
+    streaming, port = live_grouped
+    _, solo_port = live
+    C = 4
+    sess = streaming.session(C)
+    n_chunks = sess.prime_frames // C + 4
+    waves = [tone(n_chunks * C * HOP / SR, hz=180.0 + 50 * i, seed=40 + i)
+             for i in range(3)]
+
+    results = [None] * 3
+
+    def worker(i):
+        results[i] = stream_wav("127.0.0.1", port, waves[i], chunk_frames=C)[0]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    disp = streaming.dispatcher(C)
+    assert disp is not None and disp.max_stacked >= 2, (
+        "concurrent streams never shared a tick"
+    )
+    for i in range(3):
+        want, _ = stream_wav("127.0.0.1", solo_port, waves[i], chunk_frames=C)
+        assert results[i].shape == want.shape
+        np.testing.assert_allclose(results[i], want, rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_overflow_falls_back_to_solo():
+    """More concurrent streams than group slots: the overflow stream runs a
+    dedicated session and still completes correctly."""
+    from facodec_tpu.cli.stream_serve import stream_wav
+
+    streaming, server = _live_pair(group_capacity=1)
+    port = server.server_address[1]
+    try:
+        C = 4
+        sess = streaming.session(C)
+        n_chunks = sess.prime_frames // C + 3
+        waves = [tone(n_chunks * C * HOP / SR, hz=200.0 + 60 * i, seed=50 + i)
+                 for i in range(2)]
+        results = [None] * 2
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, stream_wav("127.0.0.1", port, waves[i],
+                                  chunk_frames=C)[0]
+                )
+            )
+            for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, out in enumerate(results):
+            assert out.shape == (len(waves[i]),)
+            assert np.isfinite(out).all()
+        assert streaming.dispatcher(C).group.free_slots() == 1  # all released
+    finally:
+        server.shutdown()
+        server.server_close()
 
 
 def test_stream_metrics_and_requests(live):
