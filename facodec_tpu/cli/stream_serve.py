@@ -12,7 +12,9 @@ Protocol (all little-endian, audio = float32 PCM mono at 24 kHz):
 
   client -> server   one JSON header line terminated by "\n":
                        {"chunk_frames": 4,            # latent frames/chunk
-                        "timbre_wav": "<base64 WAV>"} # optional VC target
+                        "timbre_wav": "<base64 WAV>", # optional VC target
+                        "vc_mode": "redecoder"}       # optional: VC through
+                                                      # the redecoder path
   server -> client   one JSON status line:
                        {"status": "ok", "chunk_frames": C,
                         "prime_samples": P, "sample_rate": 24000}
@@ -35,6 +37,12 @@ Semantics:
     priming prefix (the first prime_samples) — a live stream cannot pool
     the full utterance the way the one-shot forward does
     (quantize.py:375-382).
+  * "vc_mode": "redecoder" (requires "timbre_wav" and a server started
+    with --redecoder-config): VC runs through the REDECODER resynthesis
+    path — the reference's actual VC route (reconstruct_redecoder.py:
+    94-128) — source codes from the exact streaming encoder, re-chunked
+    and fed to a StreamingRedecoder under the target timbre. Output
+    equals one-shot `FARedecoder.resynthesize` on the one-shot codes.
   * Client frames may be any size; the server re-chunks internally. For
     input that is an exact multiple of the chunk size, the emitted audio is
     bit-identical to the interactive session loop; otherwise the tail is
@@ -298,6 +306,122 @@ class _ConnEngine:
             self._slot = None
         self.mode = "done"
 
+    def needs_tail(self, emitted: int, target: int) -> bool:
+        """Zero-chunk feeding continues until only the flush frame remains
+        (codec emissions are frame-synchronous with input)."""
+        return emitted + HOP < target
+
+
+class _RedecoderVCEngine:
+    """Live VC through the REDECODER path — the reference's actual VC
+    resynthesis route (reference reconstruct_redecoder.py:94-128): source
+    chunks -> streaming codec encoder (codes bit-exact vs one-shot) ->
+    host-side code FIFO re-chunked to exact chunk_frames slices ->
+    StreamingRedecoder (WN carries + decoder state) under the TARGET
+    timbre. Both stages are individually exact vs their one-shot forms, so
+    the retained output samples equal `FARedecoder.resynthesize` on the
+    one-shot codes. Runs solo batch-1 (redecoder streams do not join the
+    codec BatchedStreamGroup)."""
+
+    def __init__(self, streaming: "StreamingService", chunk_frames: int,
+                 use_p_code: bool = False):
+        self.streaming = streaming
+        self.sess = streaming.session(chunk_frames)  # encode side
+        self.red = streaming.redecoder_session(chunk_frames, use_p_code)
+        self._est = self.sess.init_encode_state(1)
+        self._rst = self.red.init_state(1)
+        self._cp: Optional[np.ndarray] = None  # pending (1, n_p, t) codes
+        self._cc: Optional[np.ndarray] = None  # pending (1, n_cc, t) codes
+
+    @property
+    def primed(self) -> bool:
+        return self._est.primed
+
+    def needs_tail(self, emitted: int, target: int) -> bool:
+        return False  # finish() drains everything still pending
+
+    def _push(self, codes) -> None:
+        cp = np.asarray(codes[0], np.int32)
+        cc = np.asarray(codes[1], np.int32)
+        self._cp = cp if self._cp is None else np.concatenate(
+            [self._cp, cp], axis=-1)
+        self._cc = cc if self._cc is None else np.concatenate(
+            [self._cc, cc], axis=-1)
+
+    def _vc_slice(self, cp, cc, timbre):
+        import jax.numpy as jnp
+
+        svc = self.streaming.service
+        t0 = time.perf_counter()
+        with svc.lock:
+            self._rst, wave = self.red.vc_chunk(
+                self._rst, jnp.asarray(cp), jnp.asarray(cc), timbre
+            )
+        if wave is not None:
+            self.streaming._record_chunk(time.perf_counter() - t0)
+        return wave
+
+    def _drain(self, timbre) -> list:
+        """Feed every whole chunk_frames code slice; list of emitted waves."""
+        C = self.sess.chunk_frames
+        parts = []
+        while self._cp is not None and self._cp.shape[-1] >= C:
+            cp, self._cp = self._cp[..., :C], self._cp[..., C:]
+            cc, self._cc = self._cc[..., :C], self._cc[..., C:]
+            wave = self._vc_slice(cp, cc, timbre)
+            if wave is not None:
+                parts.append(np.asarray(wave)[0])
+        return parts
+
+    def feed(self, chunk: np.ndarray, timbre) -> Optional[np.ndarray]:
+        import jax.numpy as jnp
+
+        svc = self.streaming.service
+        t0 = time.perf_counter()
+        with svc.lock:
+            self._est, _, codes = self.sess.encode_chunk(
+                self._est, jnp.asarray(chunk)[None, :], timbre
+            )
+        if codes is None:
+            return None
+        self.streaming._record_chunk(time.perf_counter() - t0)
+        self._push(codes)
+        parts = self._drain(timbre)
+        return np.concatenate(parts) if parts else None
+
+    def finish(self, timbre) -> Optional[np.ndarray]:
+        """Flush the encoder's final frame, then pad the pending code FIFO
+        to a chunk boundary (zero codes — causal, so padded frames cannot
+        perturb retained samples; the caller trims) and keep feeding zero
+        chunks until the redecoder session has primed and drained."""
+        svc = self.streaming.service
+        with svc.lock:
+            _, codes_t = self.sess.flush_encode(self._est, timbre)
+        self._push(codes_t)
+        C = self.sess.chunk_frames
+        n_pend = self._cp.shape[-1]
+        pad = -n_pend % C
+        if pad:
+            self._cp = np.concatenate(
+                [self._cp, np.zeros(self._cp.shape[:-1] + (pad,), np.int32)],
+                axis=-1)
+            self._cc = np.concatenate(
+                [self._cc, np.zeros(self._cc.shape[:-1] + (pad,), np.int32)],
+                axis=-1)
+        parts = self._drain(timbre)
+        guard = self.red.prime_frames // C + 2
+        while not self._rst.primed and guard:  # ultra-short stream: prime
+            guard -= 1
+            wave = self._vc_slice(
+                np.zeros((1, self._cp.shape[1], C), np.int32),
+                np.zeros((1, self._cc.shape[1], C), np.int32), timbre)
+            if wave is not None:
+                parts.append(np.asarray(wave)[0])
+        return np.concatenate(parts) if parts else None
+
+    def close(self) -> None:
+        pass  # solo sessions hold no shared slots
+
 
 class StreamingService:
     """Session factory + timbre plumbing over a CodecService.
@@ -358,6 +482,28 @@ class StreamingService:
                 self._sessions[chunk_frames] = sess
             return sess
 
+    def redecoder_session(self, chunk_frames: int, use_p_code: bool = False):
+        """Cached StreamingRedecoder over the service's FARedecoder (live
+        VC through the reference's actual resynthesis route). Raises when
+        no redecoder is configured or its config is non-causal."""
+        from facodec_tpu.models.streaming import StreamingRedecoder
+
+        red = self.service.redecoder
+        if red is None:
+            raise ValueError(
+                "redecoder VC requires --redecoder-config on the server")
+        key = ("redecoder", chunk_frames, use_p_code)
+        with self._cache_lock:
+            sess = self._sessions.get(key)
+            if sess is None:
+                sess = StreamingRedecoder(
+                    red.models["encoder"], red.models["decoder"], red.params,
+                    chunk_frames=chunk_frames, use_p_code=use_p_code,
+                    n_c=1,  # mirrors the one-shot /convert endpoint default
+                )
+                self._sessions[key] = sess
+            return sess
+
     def timbre_from_wave(self, wave: np.ndarray) -> np.ndarray:
         """(1, d) timbre vector via the service's bucketed masked encoder
         (exact under bucket padding; micro-batches with regular traffic)."""
@@ -378,6 +524,9 @@ class StreamingService:
             C = int(header.get("chunk_frames", 4))
             if not 1 <= C <= MAX_CHUNK_FRAMES:
                 raise ValueError(f"chunk_frames must be in [1, {MAX_CHUNK_FRAMES}]")
+            vc_mode = header.get("vc_mode")
+            if vc_mode not in (None, "timbre_swap", "redecoder"):
+                raise ValueError(f"unknown vc_mode {vc_mode!r}")
             timbre = None
             if header.get("timbre_wav"):
                 from facodec_tpu.cli.serve import read_wav_bytes
@@ -385,23 +534,34 @@ class StreamingService:
                 ref = read_wav_bytes(base64.b64decode(header["timbre_wav"]))
                 timbre = jnp.asarray(self.timbre_from_wave(ref))
             sess = self.session(C)
+            if vc_mode == "redecoder":
+                if timbre is None:
+                    raise ValueError("vc_mode=redecoder requires timbre_wav")
+                engine = _RedecoderVCEngine(
+                    self, C, use_p_code=bool(header.get("use_p_code", False))
+                )
+            else:
+                engine = _ConnEngine(self, C)
         except Exception as e:  # noqa: BLE001 — protocol boundary
             wfile.write(json.dumps(
                 {"status": "error", "error": f"{type(e).__name__}: {e}"}
             ).encode() + b"\n")
             return
-        wfile.write(json.dumps({
+        status = {
             "status": "ok",
             "chunk_frames": C,
             "prime_samples": sess.prime_frames * HOP,
             "sample_rate": SR,
             "vc": timbre is not None,
-        }).encode() + b"\n")
+        }
+        if vc_mode == "redecoder":
+            status["vc_mode"] = "redecoder"
+            status["redecoder_prime_frames"] = engine.red.prime_frames
+        wfile.write(json.dumps(status).encode() + b"\n")
         wfile.flush()
 
         step = C * HOP
         max_samples = self.service.max_frames * HOP
-        engine = _ConnEngine(self, C)
         buf = np.zeros(0, np.float32)
         prefix_fed = []  # chunks fed pre-timbre (self-timbre mode)
         accepted = 0  # samples accepted into the stream (capped)
@@ -459,7 +619,7 @@ class StreamingService:
             guard = sess.prime_frames // C + 2
             while emitted < target_out() and (
                 len(buf) > 0 or not engine.primed
-                or emitted + HOP < target_out()
+                or engine.needs_tail(emitted, target_out())
             ):
                 if guard == 0:
                     break
@@ -503,15 +663,19 @@ def make_stream_server(streaming: StreamingService, host: str = "127.0.0.1",
 def stream_wav(host: str, port: int, wave: np.ndarray,
                chunk_frames: int = 4, send_samples: Optional[int] = None,
                timbre_wav_bytes: Optional[bytes] = None,
+               vc_mode: Optional[str] = None,
                ) -> Tuple[np.ndarray, dict]:
     """Reference client: stream `wave` to a live server in `send_samples`-
     sized frames (default one chunk), collect the full output. Returns
-    (output wave, server status header)."""
+    (output wave, server status header). vc_mode="redecoder" routes through
+    the redecoder resynthesis path (requires timbre_wav_bytes)."""
     import socket
 
     header: dict = {"chunk_frames": chunk_frames}
     if timbre_wav_bytes is not None:
         header["timbre_wav"] = base64.b64encode(timbre_wav_bytes).decode()
+    if vc_mode is not None:
+        header["vc_mode"] = vc_mode
     step = send_samples or chunk_frames * HOP
     wave = np.asarray(wave, np.float32).reshape(-1)
 

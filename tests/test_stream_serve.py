@@ -2,6 +2,7 @@
 exactness vs the interactive StreamingFACodec session, VC mode, ragged and
 short streams."""
 
+import base64
 import json
 import os
 import socket
@@ -261,3 +262,94 @@ def test_stream_metrics_and_requests(live):
     stream_wav("127.0.0.1", port, wave, chunk_frames=C)
     assert svc.requests > before
     assert 'op="stream_chunk"' in render_metrics(svc)
+
+
+@pytest.fixture(scope="module")
+def live_vc():
+    """Server with a redecoder configured (live redecoder-VC route)."""
+    from facodec_tpu.api import FACodec, FARedecoder
+    from facodec_tpu.cli.serve import CodecService
+    from facodec_tpu.cli.stream_serve import StreamingService, make_stream_server
+
+    codec = FACodec.from_config(TINY, n_c=2)
+    red = FARedecoder.from_config(TINY)
+    service = CodecService(codec, red, bucket_seconds=0.5)
+    streaming = StreamingService(service, group_capacity=0)
+    server = make_stream_server(streaming, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield codec, red, streaming, server.server_address[1]
+    server.shutdown()
+    server.server_close()
+
+
+def test_stream_redecoder_vc_matches_oneshot(live_vc):
+    """vc_mode=redecoder: the live stream equals one-shot
+    FARedecoder.resynthesize on the one-shot codes (streaming codes are
+    bit-exact; the redecoder session is exact to float tolerance)."""
+    from facodec_tpu.cli.serve import read_wav_bytes, write_wav_bytes
+    from facodec_tpu.cli.stream_serve import stream_wav
+
+    codec, red, streaming, port = live_vc
+    C = 4
+    sess = streaming.session(C)
+    rsess = streaming.redecoder_session(C)
+    n_chunks = (sess.prime_frames + rsess.prime_frames) // C + 3
+    source = tone(n_chunks * C * HOP / SR, hz=196.0, seed=7)
+    target = tone(0.45, hz=330.0, seed=8)
+    blob = write_wav_bytes(target)
+
+    out, status = stream_wav("127.0.0.1", port, source, chunk_frames=C,
+                             timbre_wav_bytes=blob, vc_mode="redecoder")
+    assert status["vc_mode"] == "redecoder"
+    assert status["redecoder_prime_frames"] == rsess.prime_frames
+    assert out.shape == source.shape
+
+    f = codec.encode(source)
+    timbre = streaming.timbre_from_wave(read_wav_bytes(blob))
+    want = red.resynthesize(f, timbre)[0]
+    np.testing.assert_allclose(out, want, rtol=2e-4, atol=2e-4)
+
+
+def test_stream_redecoder_vc_short_stream(live_vc):
+    """A stream shorter than the combined priming spans still produces
+    full-length, finite output (zero-pad priming on both stages)."""
+    from facodec_tpu.cli.serve import write_wav_bytes
+    from facodec_tpu.cli.stream_serve import stream_wav
+
+    _, _, streaming, port = live_vc
+    C = 4
+    source = tone(2 * C * HOP / SR, hz=250.0, seed=9)
+    blob = write_wav_bytes(tone(0.45, hz=330.0, seed=10))
+    out, _ = stream_wav("127.0.0.1", port, source, chunk_frames=C,
+                        timbre_wav_bytes=blob, vc_mode="redecoder")
+    assert out.shape == source.shape
+    assert np.isfinite(out).all()
+
+
+def test_stream_redecoder_vc_requires_timbre(live_vc):
+    """vc_mode=redecoder without timbre_wav is a protocol error."""
+    import socket
+
+    _, _, _, port = live_vc
+    with socket.create_connection(("127.0.0.1", port)) as sock:
+        sock.sendall(json.dumps({"chunk_frames": 4,
+                                 "vc_mode": "redecoder"}).encode() + b"\n")
+        line = sock.makefile("rb").readline()
+    assert json.loads(line)["status"] == "error"
+
+
+def test_stream_redecoder_vc_unavailable(live):
+    """vc_mode=redecoder on a server without --redecoder-config errors
+    cleanly instead of crashing the connection thread."""
+    import socket
+
+    from facodec_tpu.cli.serve import write_wav_bytes
+
+    _, port = live
+    blob = write_wav_bytes(tone(0.45, hz=330.0, seed=12))
+    header = {"chunk_frames": 4, "vc_mode": "redecoder",
+              "timbre_wav": base64.b64encode(blob).decode()}
+    with socket.create_connection(("127.0.0.1", port)) as sock:
+        sock.sendall(json.dumps(header).encode() + b"\n")
+        line = sock.makefile("rb").readline()
+    assert json.loads(line)["status"] == "error"
