@@ -8,6 +8,7 @@ import os
 import socket
 import struct
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -353,3 +354,37 @@ def test_stream_redecoder_vc_unavailable(live):
         sock.sendall(json.dumps(header).encode() + b"\n")
         line = sock.makefile("rb").readline()
     assert json.loads(line)["status"] == "error"
+
+
+def test_grouped_slot_released_on_abrupt_disconnect(live_grouped):
+    """A client that vanishes mid-stream (no end-of-stream marker, no drain)
+    must not leak its group slot."""
+    import socket
+
+    streaming, port = live_grouped
+    C = 4
+    sess = streaming.session(C)
+    disp_before = streaming.dispatcher(C)
+    free_before = disp_before.group.free_slots()
+
+    sock = socket.create_connection(("127.0.0.1", port))
+    wfile = sock.makefile("wb")
+    rfile = sock.makefile("rb")
+    wfile.write(json.dumps({"chunk_frames": C}).encode() + b"\n")
+    wfile.flush()
+    assert json.loads(rfile.readline())["status"] == "ok"
+    # prime (joins a slot) + a couple of live chunks, then vanish
+    step = C * HOP
+    wave = tone((sess.prime_frames * HOP + 2 * step) / SR, seed=60)
+    for i in range(0, len(wave), step):
+        payload = np.ascontiguousarray(wave[i : i + step], np.float32).tobytes()
+        wfile.write(struct.pack("<I", len(payload)) + payload)
+    wfile.flush()
+    sock.close()  # abrupt: no zero-length end marker, output never drained
+
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if disp_before.group.free_slots() == free_before:
+            break
+        time.sleep(0.25)
+    assert disp_before.group.free_slots() == free_before
