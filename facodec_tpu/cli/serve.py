@@ -592,6 +592,22 @@ def render_metrics(service) -> str:
         lines.append(
             f'facodec_request_latency_seconds_count{{op="{op}"}} {len(xs)}'
         )
+    streaming = getattr(service, "streaming", None)
+    if streaming is not None and streaming.group_stats():
+        lines += [
+            "# TYPE facodec_stream_ticks_total counter",
+            "# TYPE facodec_stream_tick_max_stacked gauge",
+            "# TYPE facodec_stream_active_slots gauge",
+            "# TYPE facodec_stream_group_capacity gauge",
+        ]
+        for C, g in sorted(streaming.group_stats().items()):
+            lab = f'{{chunk_frames="{C}"}}'
+            lines += [
+                f"facodec_stream_ticks_total{lab} {g['ticks']}",
+                f"facodec_stream_tick_max_stacked{lab} {g['max_stacked']}",
+                f"facodec_stream_active_slots{lab} {g['active_slots']}",
+                f"facodec_stream_group_capacity{lab} {g['capacity']}",
+            ]
     return "\n".join(lines) + "\n"
 
 

@@ -441,6 +441,21 @@ class StreamingService:
         self._sessions: Dict[int, object] = {}
         self._dispatchers: Dict[int, Optional[_GroupDispatcher]] = {}
         self._cache_lock = threading.Lock()
+        service.streaming = self  # /metrics picks up group gauges
+
+    def group_stats(self) -> Dict[int, dict]:
+        """Per-chunk-size continuous-batching stats for /metrics."""
+        with self._cache_lock:
+            disps = dict(self._dispatchers)
+        return {
+            C: {
+                "ticks": d.ticks,
+                "max_stacked": d.max_stacked,
+                "active_slots": d.group.capacity - d.group.free_slots(),
+                "capacity": d.group.capacity,
+            }
+            for C, d in disps.items() if d is not None
+        }
 
     def dispatcher(self, chunk_frames: int) -> Optional[_GroupDispatcher]:
         """The shared tick dispatcher for this chunk size (None when

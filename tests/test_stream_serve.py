@@ -206,6 +206,11 @@ def test_grouped_streams_batch_and_match_solo(live_grouped, live):
     assert disp is not None and disp.max_stacked >= 2, (
         "concurrent streams never shared a tick"
     )
+    from facodec_tpu.cli.serve import render_metrics
+
+    metrics = render_metrics(streaming.service)
+    assert f'facodec_stream_ticks_total{{chunk_frames="{C}"}}' in metrics
+    assert 'facodec_stream_tick_max_stacked' in metrics
     for i in range(3):
         want, _ = stream_wav("127.0.0.1", solo_port, waves[i], chunk_frames=C)
         assert results[i].shape == want.shape
