@@ -280,18 +280,33 @@ class CodecService:
     def _run_batch(self, key, payloads):
         """ONE device call for up to max_batch same-bucket requests: stack
         the padded rows, pad the batch dim to a power of two (zero rows,
-        full-bucket lens), run, split per request."""
+        full-bucket lens), run, split per request. When the codec was
+        sharded (`shard_inference` / serve --shard-inference), the stacked
+        batch is placed with the data-axis sharding so the one device call
+        is an SPMD program over the mesh (rows are independent — identical
+        per-row values, test_serve_sharded_inference)."""
         import jax.numpy as jnp
 
         op, Tb = key
         n = len(payloads)
         nb = 1 << (n - 1).bit_length()
+        mesh = getattr(self.codec, "_mesh", None)
+        if mesh is not None:  # batch dim must divide the data axis
+            nd = int(mesh.shape["data"])
+            nb = -(-nb // nd) * nd
         waves = np.zeros((nb, Tb), np.float32)
         lens = np.full(nb, Tb, np.int32)
         for i, (row, T) in enumerate(payloads):
             waves[i] = row
             lens[i] = T
         w, wl = jnp.asarray(waves), jnp.asarray(lens)
+        if mesh is not None:
+            import jax
+
+            from facodec_tpu.parallel.mesh import batch_sharding
+
+            w = jax.device_put(w, batch_sharding(mesh))
+            wl = jax.device_put(wl, batch_sharding(mesh))
         with self.lock:
             outs, codes, timbre = self._enc(self.codec.params, w, wl)
             if op == "reconstruct":
@@ -717,6 +732,11 @@ def add_args(p):
     p.add_argument("--batch-window-ms", type=float, default=5.0,
                    help="how long a request waits for same-bucket peers")
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--shard-inference", action="store_true",
+                   help="data-parallel one-shot inference over ALL attached "
+                        "devices (params replicated, request batches sharded "
+                        "over the mesh's data axis — pod-slice serving); "
+                        "streaming sessions stay single-device")
     p.add_argument("--stream-port", type=int, default=None,
                    help="also serve live duplex PCM streaming (real-time "
                         "reconstruction / VC) on this TCP port — see "
@@ -766,6 +786,13 @@ def main(args) -> int:
         FARedecoder.from_config(args.redecoder_config, args.redecoder_ckpt)
         if args.redecoder_config else None
     )
+    if args.shard_inference:
+        import jax
+
+        codec.shard_inference()
+        if redecoder is not None:
+            redecoder.shard_inference()
+        print(f"sharded one-shot inference over {jax.device_count()} devices")
     service = CodecService(
         codec, redecoder,
         bucket_seconds=args.bucket_seconds,

@@ -232,3 +232,25 @@ def test_http_convert_with_redecoder():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_sharded_inference(service):
+    """--shard-inference semantics: a CodecService over a dp-sharded codec
+    (params replicated, micro-batch sharded over the 8-virtual-device data
+    axis) returns the same codes/audio as the single-device service."""
+    from facodec_tpu.api import FACodec
+    from facodec_tpu.cli.serve import CodecService
+
+    wave = tone(0.6, hz=260.0, seed=21)
+    f_ref = service.encode(wave)
+    r_ref = service.reconstruct(wave)
+
+    codec_dp = FACodec.from_config(TINY, n_c=2).shard_inference()
+    svc_dp = CodecService(codec_dp, bucket_seconds=0.5,
+                          stream_threshold_seconds=4.0)
+    f_dp = svc_dp.encode(wave)
+    for name in ("codes_p", "codes_c", "codes_r"):
+        np.testing.assert_array_equal(getattr(f_dp, name), getattr(f_ref, name))
+    np.testing.assert_allclose(f_dp.timbre, f_ref.timbre, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(svc_dp.reconstruct(wave), r_ref,
+                               rtol=1e-5, atol=1e-5)
