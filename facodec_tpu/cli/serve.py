@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import base64
 import collections
+import dataclasses
 import io
 import json
 import threading
@@ -64,6 +65,11 @@ import numpy as np
 
 SR = 24000
 HOP = 300
+MAX_BODY_BYTES = 64 * 1024 * 1024  # untrusted uploads (wav / .fac / JSON)
+
+
+class _TooLarge(ValueError):
+    """Request body over the serving cap (HTTP 413)."""
 
 
 # ----------------------------------------------------------------- wav bytes
@@ -344,6 +350,18 @@ class CodecService:
     def decode(self, f, use_residual: bool = True) -> np.ndarray:
         t0 = time.perf_counter()
         frames = f.codes_p.shape[-1]
+        if frames > self.max_frames:  # same --max-seconds cap as encode:
+            # a crafted .fac must not buy unbounded decode compute/output
+            f = dataclasses.replace(
+                f,
+                codes_p=f.codes_p[..., : self.max_frames],
+                codes_c=f.codes_c[..., : self.max_frames],
+                codes_r=(None if f.codes_r is None
+                         else f.codes_r[..., : self.max_frames]),
+                original_length=min(f.original_length or 0,
+                                    self.max_frames * HOP) or 0,
+            )
+            frames = self.max_frames
         with self.lock:
             if frames > self.stream_threshold_frames:
                 out = self.codec.decode_streaming(f, use_residual=use_residual)
@@ -650,6 +668,10 @@ def make_handler(service: CodecService):
 
         def _body(self) -> bytes:
             n = int(self.headers.get("Content-Length", 0))
+            if n > MAX_BODY_BYTES:
+                raise _TooLarge(
+                    f"request body {n} bytes exceeds {MAX_BODY_BYTES}"
+                )
             return self.rfile.read(n)
 
         def do_GET(self):
@@ -691,6 +713,8 @@ def make_handler(service: CodecService):
                         return self._json(503, {"error": str(e)})
                     return self._send(200, write_wav_bytes(out), "audio/wav")
                 return self._json(404, {"error": "unknown path"})
+            except _TooLarge as e:
+                return self._json(413, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — serving boundary
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
 

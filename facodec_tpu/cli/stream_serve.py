@@ -266,8 +266,6 @@ class _ConnEngine:
             return self.streaming.dispatcher(sess.chunk_frames).submit(
                 self._slot, chunk
             )
-        import jax.numpy as jnp
-
         t0 = time.perf_counter()
         with svc.lock:
             self._est, outs, _ = sess.encode_chunk(

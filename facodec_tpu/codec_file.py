@@ -77,13 +77,39 @@ class FACodecFile:
         if header.pop("magic", None) != MAGIC:
             raise ValueError(f"{path} is not a facodec-tpu code file")
         header.pop("version", None)
-        return cls(
+        f = cls(
             codes_p=data["codes_p"],
             codes_c=data["codes_c"],
             codes_r=data["codes_r"] if "codes_r" in data else None,
             timbre=data["timbre"],
-            sample_rate=header.pop("sample_rate"),
-            hop_length=header.pop("hop_length"),
-            original_length=header.pop("original_length"),
+            sample_rate=int(header.pop("sample_rate")),
+            hop_length=int(header.pop("hop_length")),
+            original_length=int(header.pop("original_length")),
             metadata=header,
         )
+        f.validate()
+        return f
+
+    def validate(self) -> None:
+        """Structural checks so malformed/hostile files fail here with a
+        clear message instead of deep inside a jitted program (the serve
+        CLI decodes untrusted uploads)."""
+        streams = [("codes_p", self.codes_p), ("codes_c", self.codes_c)]
+        if self.codes_r is not None:
+            streams.append(("codes_r", self.codes_r))
+        B, T = self.codes_p.shape[0], self.codes_p.shape[-1]
+        for name, c in streams:
+            if c.ndim != 3:
+                raise ValueError(f"{name}: expected (B, n_codebooks, T), "
+                                 f"got shape {c.shape}")
+            if c.shape[0] != B or c.shape[-1] != T:
+                raise ValueError(f"{name}: batch/frames {c.shape} disagree "
+                                 f"with codes_p {self.codes_p.shape}")
+            if not np.issubdtype(c.dtype, np.integer):
+                raise ValueError(f"{name}: codes must be integers, "
+                                 f"got {c.dtype}")
+        if self.timbre.ndim != 2 or self.timbre.shape[0] != B:
+            raise ValueError(f"timbre: expected (B={B}, d), "
+                             f"got shape {self.timbre.shape}")
+        if self.original_length < 0 or T < 1 or B < 1:
+            raise ValueError("non-positive batch/frames/original_length")

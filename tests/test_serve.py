@@ -254,3 +254,82 @@ def test_serve_sharded_inference(service):
     np.testing.assert_allclose(f_dp.timbre, f_ref.timbre, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(svc_dp.reconstruct(wave), r_ref,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fac_validation_rejects_malformed():
+    """Hostile/malformed .fac uploads fail in FACodecFile.validate with a
+    clear message rather than deep inside a jitted program."""
+    from facodec_tpu.codec_file import FACodecFile
+
+    rng = np.random.default_rng(2)
+
+    def make(**kw):
+        base = dict(
+            codes_p=rng.integers(0, 32, (1, 1, 7)).astype(np.uint16),
+            codes_c=rng.integers(0, 32, (1, 2, 7)).astype(np.uint16),
+            codes_r=None,
+            timbre=rng.standard_normal((1, 16)).astype(np.float32),
+            original_length=2100,
+        )
+        base.update(kw)
+        return FACodecFile(**base)
+
+    with pytest.raises(ValueError, match="codes_c"):
+        FACodecFile.from_bytes(
+            make(codes_c=rng.integers(0, 32, (2, 7)).astype(np.uint16)
+                 ).to_bytes())
+    with pytest.raises(ValueError, match="codes_c"):
+        FACodecFile.from_bytes(
+            make(codes_c=rng.integers(0, 32, (1, 2, 9)).astype(np.uint16)
+                 ).to_bytes())
+    with pytest.raises(ValueError, match="timbre"):
+        FACodecFile.from_bytes(
+            make(timbre=np.zeros((2, 16), np.float32)).to_bytes())
+    with pytest.raises(ValueError, match="original_length"):
+        FACodecFile.from_bytes(make(original_length=-1).to_bytes())
+    # integer dtype is required but any width is fine
+    FACodecFile.from_bytes(
+        make(codes_p=rng.integers(0, 32, (1, 1, 7)).astype(np.int64)
+             ).to_bytes())
+
+
+def test_decode_caps_hostile_length(service):
+    """A crafted .fac claiming far more frames than --max-seconds decodes
+    at most max_frames of audio instead of unbounded compute/output."""
+    from facodec_tpu.codec_file import FACodecFile
+
+    rng = np.random.default_rng(3)
+    frames = service.max_frames + 64
+    f = FACodecFile(
+        codes_p=rng.integers(0, 32, (1, 1, frames)).astype(np.uint16),
+        codes_c=rng.integers(0, 32, (1, 2, frames)).astype(np.uint16),
+        codes_r=rng.integers(0, 32, (1, 3, frames)).astype(np.uint16),
+        timbre=rng.standard_normal((1, 64)).astype(np.float32),
+        original_length=frames * HOP,
+    )
+    out = service.decode(f)
+    assert out.shape[-1] <= service.max_frames * HOP
+
+
+def test_http_body_cap(service):
+    """A request claiming an over-cap Content-Length is rejected with 413
+    before the body is read."""
+    from facodec_tpu.cli.serve import MAX_BODY_BYTES, make_server
+
+    server = make_server(service, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/reconstruct")
+        conn.putheader("Content-Length", str(MAX_BODY_BYTES + 1))
+        conn.endheaders()
+        # do NOT send the body; the server must answer from the header alone
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+    finally:
+        server.shutdown()
+        server.server_close()
