@@ -773,6 +773,10 @@ def add_args(p):
     p.add_argument("--stream-group-window-ms", type=float, default=5.0,
                    help="how long a tick waits (from its oldest pending "
                         "chunk) for peer streams to stack")
+    p.add_argument("--stream-idle-timeout", type=float, default=300.0,
+                   help="drop live-stream connections silent this many "
+                        "seconds (reclaims the handler thread and any "
+                        "continuous-batching slot)")
     return p
 
 
@@ -840,6 +844,7 @@ def main(args) -> int:
                 group_window_ms=args.stream_group_window_ms,
             ),
             args.host, args.stream_port,
+            idle_timeout_s=args.stream_idle_timeout,
         )
         service.stream_port = stream_server.server_address[1]
         threading.Thread(

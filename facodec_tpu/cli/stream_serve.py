@@ -653,15 +653,20 @@ class StreamingService:
 
 
 def make_stream_server(streaming: StreamingService, host: str = "127.0.0.1",
-                       port: int = 0):
-    """Build (not start) the threaded TCP server; port 0 = ephemeral."""
+                       port: int = 0, idle_timeout_s: float = 300.0):
+    """Build (not start) the threaded TCP server; port 0 = ephemeral.
+    A connection silent for idle_timeout_s is dropped (its handler thread
+    and any continuous-batching slot are reclaimed — engine.close() runs
+    on every exit path)."""
 
     class Handler(socketserver.StreamRequestHandler):
+        timeout = idle_timeout_s  # socketserver applies it to the socket
+
         def handle(self):
             try:
                 streaming.run_connection(self.rfile, self.wfile)
-            except (ConnectionError, BrokenPipeError, ValueError):
-                pass  # peer vanished mid-stream; session state dies with us
+            except (ConnectionError, BrokenPipeError, ValueError, OSError):
+                pass  # peer vanished/stalled mid-stream; state dies with us
 
     class Server(socketserver.ThreadingTCPServer):
         daemon_threads = True

@@ -361,6 +361,28 @@ def test_stream_redecoder_vc_unavailable(live):
     assert json.loads(line)["status"] == "error"
 
 
+def _wait_for(cond, timeout_s=60.0, what=""):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if cond():
+            return
+        time.sleep(0.1)
+    raise AssertionError(f"timed out waiting for {what}")
+
+
+def _wait_handlers_done():
+    """Block until no socketserver handler thread is running a device call —
+    a handler alive inside XLA at interpreter exit aborts C++ teardown
+    ('FATAL: exception not rethrown', exit 134)."""
+    _wait_for(
+        lambda: not any(
+            t.is_alive() and "process_request_thread" in t.name
+            for t in threading.enumerate()
+        ),
+        what="stream handler threads to exit",
+    )
+
+
 def test_grouped_slot_released_on_abrupt_disconnect(live_grouped):
     """A client that vanishes mid-stream (no end-of-stream marker, no drain)
     must not leak its group slot."""
@@ -369,8 +391,8 @@ def test_grouped_slot_released_on_abrupt_disconnect(live_grouped):
     streaming, port = live_grouped
     C = 4
     sess = streaming.session(C)
-    disp_before = streaming.dispatcher(C)
-    free_before = disp_before.group.free_slots()
+    disp = streaming.dispatcher(C)
+    free_before = disp.group.free_slots()
 
     sock = socket.create_connection(("127.0.0.1", port))
     wfile = sock.makefile("wb")
@@ -378,18 +400,62 @@ def test_grouped_slot_released_on_abrupt_disconnect(live_grouped):
     wfile.write(json.dumps({"chunk_frames": C}).encode() + b"\n")
     wfile.flush()
     assert json.loads(rfile.readline())["status"] == "ok"
-    # prime (joins a slot) + a couple of live chunks, then vanish
+    # prime (joins a slot) + a couple of live chunks
     step = C * HOP
     wave = tone((sess.prime_frames * HOP + 2 * step) / SR, seed=60)
     for i in range(0, len(wave), step):
         payload = np.ascontiguousarray(wave[i : i + step], np.float32).tobytes()
         wfile.write(struct.pack("<I", len(payload)) + payload)
     wfile.flush()
-    sock.close()  # abrupt: no zero-length end marker, output never drained
+    _wait_for(lambda: disp.group.free_slots() < free_before,
+              what="the stream to occupy a slot")
+    # vanish: close EVERY handle (makefile objects keep the fd alive — the
+    # server only sees EOF/RST once all of them are gone)
+    wfile.close()
+    rfile.close()
+    sock.close()
 
-    deadline = time.time() + 30
-    while time.time() < deadline:
-        if disp_before.group.free_slots() == free_before:
-            break
-        time.sleep(0.25)
-    assert disp_before.group.free_slots() == free_before
+    _wait_for(lambda: disp.group.free_slots() == free_before,
+              what="the slot to be released")
+    _wait_handlers_done()
+
+
+def test_stream_idle_timeout_reclaims_connection():
+    """A connection that goes SILENT (fd still open, nothing sent) is
+    dropped after idle_timeout_s and its continuous-batching slot is
+    reclaimed."""
+    from facodec_tpu.cli.stream_serve import make_stream_server
+
+    streaming, _server = _live_pair(group_capacity=2)
+    _server.shutdown()
+    _server.server_close()
+    server = make_stream_server(streaming, port=0, idle_timeout_s=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        C = 4
+        sess = streaming.session(C)
+        sock = socket.create_connection(("127.0.0.1", port))
+        wfile = sock.makefile("wb")
+        rfile = sock.makefile("rb")
+        wfile.write(json.dumps({"chunk_frames": C}).encode() + b"\n")
+        wfile.flush()
+        assert json.loads(rfile.readline())["status"] == "ok"
+        # prime (occupies a group slot), then go silent — do NOT close
+        disp = streaming.dispatcher(C)
+        free_before = disp.group.free_slots()
+        wave = tone(sess.prime_frames * HOP / SR, seed=70)
+        payload = np.ascontiguousarray(wave, np.float32).tobytes()
+        wfile.write(struct.pack("<I", len(payload)) + payload)
+        wfile.flush()
+        _wait_for(lambda: disp.group.free_slots() < free_before,
+                  what="the stream to occupy a slot")
+        _wait_for(lambda: disp.group.free_slots() == free_before,
+                  what="the idle timeout to reclaim the slot")
+        wfile.close()
+        rfile.close()
+        sock.close()
+        _wait_handlers_done()
+    finally:
+        server.shutdown()
+        server.server_close()
