@@ -1,9 +1,12 @@
 """Trace-time switch for the fused Pallas fast paths (ops/pallas/resunit.py).
 
-Default OFF: the golden-parity and streaming-exactness tests pin the XLA
-composition bit-for-bit, and the fused kernels differ from it by f32
-summation order (~1e-6). Inference entry points (api, CLIs, bench) call
-`enable_fused()` before building their jitted functions.
+Default OFF — and nothing in the shipping inference path turns it on: the
+fused resunit kernel MEASURED SLOWER than XLA at every codec width
+(CLAUDE.md round-3 record: Mosaic pads the (T,64)x(64,64) taps to full
+(128,128) MXU tiles), so the gate exists for A/B benchmarking
+(`FACODEC_FUSED=1`) and regression tests, not production. The golden-parity
+and streaming-exactness tests pin the XLA composition bit-for-bit; the
+fused kernels differ from it by f32 summation order (~1e-6).
 
 IMPORTANT: the flag is read at TRACE time inside module __call__. jit caches
 traces — flipping the flag after a function has been compiled does NOT
