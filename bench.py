@@ -21,7 +21,10 @@ Extras carried in the same JSON object:
                    construction), ~0.95 for full "bfloat16" (encoder
                    rounding flips argmins near Voronoi boundaries); the
                    bit-exact guard at tiny scale is tests/test_precision.py
-  rtf_float32 / rtf_hybrid  headline-batch RTF under the other policies
+  rtf_float32 / rtf_hybrid / rtf_bfloat16_act / rtf_hybrid_int8
+                   headline-batch RTF under the other policies
+                   (hybrid_int8 = f32 encode + selective W8A8-int8 decode,
+                   codes bit-exact; measured 494.4/494.6x vs 490.6 hybrid)
   flops_per_s_audio  XLA-counted FLOPs to process 1 s of audio
   mfu              model FLOP utilization vs the chip's bf16 peak
   batch_curve      [{batch, rtf}] for batch in {1, 8, 16, 32}
@@ -91,9 +94,14 @@ def _roundtrip_fn(models, prec, with_codes=False):
 
     # "hybrid": f32 encode (bit-exact codes) + bf16-activations decode
     # (~2/3 of FLOPs AND half the decode-side HBM traffic)
-    enc_prec, dec_prec = (
-        ("float32", "bfloat16_act") if prec == "hybrid" else (prec, prec)
-    )
+    # "hybrid_int8": f32 encode + W8A8 dynamic-int8 decode (int8 MXU, 2x
+    # bf16 peak; ops/precision.py) — codes still bit-exact by construction
+    if prec == "hybrid":
+        enc_prec, dec_prec = "float32", "bfloat16_act"
+    elif prec == "hybrid_int8":
+        enc_prec, dec_prec = "float32", "int8"
+    else:
+        enc_prec, dec_prec = prec, prec
 
     def roundtrip(params, wave):
         with policy(enc_prec):
@@ -220,7 +228,7 @@ def main(batch: int = 16, seconds: float = 10.0):
             r = rtf if b == batch else _timed_rtf(models, params, b, seconds, prec)[0]
             curve.append({"batch": b, "rtf": round(r, 2)})
         result["batch_curve"] = curve
-        for other in ("float32", "hybrid", "bfloat16_act"):
+        for other in ("float32", "hybrid", "bfloat16_act", "hybrid_int8"):
             if other != prec:
                 r, _ = _timed_rtf(models, params, batch, seconds, other)
                 result[f"rtf_{other}"] = round(r, 2)

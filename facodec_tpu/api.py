@@ -119,6 +119,12 @@ class FACodec:
         n_c = self.n_c
         if self.precision == "hybrid":
             enc_prec, dec_prec = "float32", "bfloat16_act"
+        elif self.precision == "hybrid_int8":
+            # f32 encode (bit-exact codes) + W8A8 dynamic-int8 decode on the
+            # int8 MXU (ops/precision.py). Offline/batch throughput mode:
+            # dynamic activation scales pool per batch row, so use the
+            # one-shot entry points, not streaming sessions.
+            enc_prec, dec_prec = "float32", "int8"
         else:
             enc_prec = dec_prec = self.precision
 

@@ -31,7 +31,12 @@ import numpy as np
 from jax import lax
 
 from facodec_tpu.ops.padding import get_extra_padding_for_conv1d, pad1d
-from facodec_tpu.ops.precision import cast_operands, out_dtype
+from facodec_tpu.ops.precision import (
+    cast_operands,
+    is_int8,
+    out_dtype,
+    quantize_dynamic,
+)
 
 Dtype = Any
 
@@ -112,7 +117,15 @@ def conv1d_ntc(
         and groups == 1
         and padding == (0, 0)
     ):
-        if not exact:
+        if not exact and is_int8(weight_oik.shape[1]):
+            # W8A8: per-row activation scale x per-out-channel weight scale
+            # both commute exactly with the matmul; int8 MXU at 2x bf16 peak
+            xi, sx = quantize_dynamic(x, (1, 2))        # (B,1,1)
+            wi, sw = quantize_dynamic(weight_oik[:, :, 0], (1,))  # (O,1)
+            y = jnp.einsum(
+                "btc,oc->bto", xi, wi, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (sx * sw[:, 0][None, None, :])
+        elif not exact:
             x, w = cast_operands(x, weight_oik[:, :, 0])
             y = jnp.einsum("btc,oc->bto", x, w).astype(out_dtype())
         else:
@@ -124,6 +137,22 @@ def conv1d_ntc(
             y = y + bias[None, None, :].astype(y.dtype)
         return y
     kernel = jnp.transpose(weight_oik, (2, 1, 0))  # -> (K, I/g, O) == WIO
+    if not exact and is_int8(kernel.shape[0] * kernel.shape[1]):
+        xi, sx = quantize_dynamic(x, (1, 2))      # (B,1,1)
+        wi, sw = quantize_dynamic(kernel, (0, 1))  # (1,1,O)
+        y = lax.conv_general_dilated(
+            xi,
+            wi,
+            window_strides=(stride,),
+            padding=[padding],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (sx * sw)
+        if bias is not None:
+            y = y + bias[None, None, :].astype(y.dtype)
+        return y
     if not exact:
         x, kernel = cast_operands(x, kernel)
     y = lax.conv_general_dilated(
@@ -167,16 +196,30 @@ def conv_transpose1d_ntc(
         w = w.reshape(groups, in_per_group, out_per_group, k)
         # jax grouped conv kernel: (K, I/g, O) with O = groups * O/g
         kernel = jnp.transpose(w, (3, 1, 0, 2)).reshape(k, in_per_group, groups * out_per_group)
-    x, kernel = cast_operands(x, kernel)
-    y = lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1,),
-        padding=[(k - 1, k - 1)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-    ).astype(out_dtype())
+    if is_int8(kernel.shape[0] * kernel.shape[1]):
+        xi, sx = quantize_dynamic(x, (1, 2))      # (B,1,1)
+        wi, sw = quantize_dynamic(kernel, (0, 1))  # (1,1,O)
+        y = lax.conv_general_dilated(
+            xi,
+            wi,
+            window_strides=(1,),
+            padding=[(k - 1, k - 1)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (sx * sw)
+    else:
+        x, kernel = cast_operands(x, kernel)
+        y = lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(k - 1, k - 1)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+        ).astype(out_dtype())
     if bias is not None:
         y = y + bias[None, None, :].astype(y.dtype)
     return y

@@ -30,6 +30,7 @@ tests instead of reference goldens.
 from __future__ import annotations
 
 import contextlib
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -47,9 +48,34 @@ _ALIASES = {
     # f32 as always. Decode-only use keeps codes bit-exact ("hybrid" bench).
     "bfloat16_act": "bfloat16_act",
     "bf16_act": "bfloat16_act",
+    # SELECTIVE W8A8 dynamic quantization: convs with fan-in (I*K) >=
+    # INT8_MIN_FANIN round their operands to int8 (weights per-output-
+    # channel, activations per-batch-row — both scalings commute EXACTLY
+    # with the convolution, so the only error is the ±0.5 rounding of each
+    # operand) and contract on the int8 MXU at 2x the bf16 peak (v5e: 394
+    # TOPS vs 197; measured 1.78-1.8x at 768/1536ch, scripts/
+    # bench_int8_conv.py). Everything else behaves as bfloat16_act. The
+    # selectivity is load-bearing: quantizing EVERY conv measured 382x RTF
+    # vs 490x hybrid end to end — the abs-max + round/cast passes over the
+    # huge narrow-stage activations (16x240000x96) cost more than the 1.38x
+    # MXU win there, while the wide stages (small T, big fan-in) keep
+    # nearly the full 1.8x. INFERENCE-ONLY: round() has zero gradient.
+    # Decode-only use ("hybrid_int8") keeps codes bit-exact; streaming
+    # sessions should not use it (the dynamic activation scale pools over
+    # whatever tensor it sees, so chunked != one-shot).
+    "int8": "int8",
+    "w8a8": "int8",
 }
 
-_BF16 = ("bfloat16", "bfloat16_act")
+# convs at or above this fan-in (C_in * K) quantize under the "int8"
+# policy; below it they run as bfloat16_act. Default catches the decoder's
+# 768/1536ch stages (fan-in 5376/10752) where the int8 MXU win survives
+# the quantize-pass overhead, and skips 384ch (2688) and below — measured
+# end to end: threshold 0 (quantize everything) 382x RTF, 4096 494x, vs
+# 490x plain hybrid (batch 16x10 s round trip, bench.py).
+INT8_MIN_FANIN = int(os.environ.get("FACODEC_INT8_MIN_FANIN", "4096"))
+
+_BF16 = ("bfloat16", "bfloat16_act", "int8")  # int8 = bf16_act + wide-conv W8A8
 
 _POLICY = "float32"
 
@@ -92,9 +118,13 @@ def compute_dtype():
 
 
 def out_dtype():
-    """The dtype conv/matmul layers RETURN: f32 except under bfloat16_act,
-    where activations stay bf16 between layers."""
-    return jnp.bfloat16 if _POLICY == "bfloat16_act" else jnp.float32
+    """The dtype conv/matmul layers RETURN: f32 except under bfloat16_act /
+    int8, where activations stay bf16 between layers."""
+    return (
+        jnp.bfloat16
+        if _POLICY in ("bfloat16_act", "int8")
+        else jnp.float32
+    )
 
 
 def _castable(x) -> bool:
@@ -113,3 +143,19 @@ def matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Policy-precision matmul with f32 accumulation/output."""
     a, b = cast_operands(a, b)
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
+def is_int8(fan_in: int) -> bool:
+    """Whether a conv with this fan-in (C_in * K) quantizes to int8 under
+    the current policy (see INT8_MIN_FANIN)."""
+    return _POLICY == "int8" and fan_in >= INT8_MIN_FANIN
+
+
+def quantize_dynamic(x: jnp.ndarray, axes) -> tuple:
+    """Symmetric dynamic int8 quantization: (int8 values, f32 scale with
+    keepdims over `axes`). x/scale is rounded to [-127, 127]; the scale
+    floor keeps all-zero slices finite (they quantize to exact zeros)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale

@@ -87,7 +87,9 @@ def make_codec_train_step(
 
     precision="bfloat16" runs every matmul/conv (forward AND backward, both
     phases) with bf16 operands and f32 accumulation; params, optimizer state,
-    losses and the VQ code path stay f32 (ops/precision.py).
+    losses and the VQ code path stay f32 (ops/precision.py). The int8
+    policies are inference-only (round() has zero gradient) and rejected
+    here.
 
     batch dict (all fixed-shape, segment cropping happens in the pipeline):
       wave_seg   (B, Tw)   24 kHz segment, Tw = frames * 300
@@ -98,6 +100,12 @@ def make_codec_train_step(
       full_waves (B, Tmax) zero-padded full utterances (timbre encoder)
       wave_lens  (B,)      valid lengths of full_waves
     """
+    if "int8" in str(precision):
+        raise ValueError(
+            f"precision={precision!r} is inference-only: the W8A8 round() "
+            "has zero gradient, so training under it would silently stop "
+            "updating the quantized convs. Use float32/bfloat16/bfloat16_act."
+        )
     encoder, quantizer = models["encoder"], models["quantizer"]
     decoder, discriminator = models["decoder"], models["discriminator"]
     fa_predictors = models["fa_predictors"]

@@ -10,7 +10,9 @@ with (a) NWC dims, (b) NCW dims, (c) NWC with conv-only (no snake, isolates
 the activation's layout influence) — if (b) beats (a) by ~the copy time,
 the encoder's hot stages should switch dimension numbers.
 
-Timing: chained lax.scan gated by a scalar read (tunnel methodology).
+Timing: chained lax.scan gated by a scalar read (tunnel methodology),
+consuming the FULL chain output per iteration — the first version read one
+element and XLA sliced the whole chain down to one receptive field.
 """
 
 from __future__ import annotations
@@ -70,7 +72,10 @@ def timed(fn, *args):
     def chained(*a):
         def body(carry, _):
             out = fn(a[0] + carry, *a[1:])
-            return jnp.float32(out.flatten()[0]), None
+            # consume the FULL output: reading one element instead lets XLA
+            # push the slice back through the whole chain (each conv then
+            # computes only the receptive-field window of one output pixel)
+            return jnp.sum(out, dtype=jnp.float32) * jnp.float32(1e-30), None
 
         s, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return s

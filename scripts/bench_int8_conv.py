@@ -10,7 +10,11 @@ Shapes: the decoder's residual-unit convs at each stage width (CLAUDE.md:
 model_4 at 96-192ch is the top round-trip sink) + the widest 1x1s.
 
 Timing: chained lax.scan iterations gated by one scalar read (the tunnel
-methodology from bench.py).
+methodology from bench.py). The chain consumes the FULL output via a sum —
+reading any single element instead lets XLA push the slice through the
+convolution and compute one output pixel per iteration (first version of
+this script measured a flat ~1.5 ms at every shape, below speed-of-light
+for the largest by 14x). An MFU column keeps the numbers honest.
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ def timed(fn, *args):
     def chained(*a):
         def body(carry, _):
             out = fn(*a, carry)
-            return jnp.float32(out.flatten()[0]), None
+            # full-output sum: no dead output elements, chain stays live
+            return jnp.sum(out, dtype=jnp.float32) * jnp.float32(1e-30), None
 
         s, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return s
@@ -80,6 +85,9 @@ def conv_case(B, T, C, k, dil, dtype):
     return timed(fn, x, w)
 
 
+PEAK = {"f32": 197e12, "bf16": 197e12, "int8": 394e12}  # v5e MXU peaks
+
+
 def main():
     B = 16
     # (T, C, k, dil): decoder stage widths at their time rates (10 s clips)
@@ -90,14 +98,18 @@ def main():
         (240000, 96, 7, 9),
         (240000, 96, 7, 1),
     ]
-    print(f"{'T':>8} {'C':>5} {'k':>2} {'d':>2} | {'f32':>8} {'bf16':>8} {'int8':>8}  ms")
+    hdr = " ".join(f"{d+'/mfu':>14}" for d in ("f32", "bf16", "int8"))
+    print(f"{'T':>8} {'C':>5} {'k':>2} {'d':>2} | {hdr}  (ms)")
     for T, C, k, dil in cases:
+        flops = 2 * B * (T - (k - 1) * dil) * C * C * k
         row = []
         for dt in ("f32", "bf16", "int8"):
             try:
-                row.append(f"{conv_case(B, T, C, k, dil, dt):8.3f}")
+                ms = conv_case(B, T, C, k, dil, dt)
+                mfu = flops / (ms * 1e-3) / PEAK[dt]
+                row.append(f"{ms:8.3f}/{mfu:5.2f}")
             except Exception as e:
-                row.append(f"ERR:{type(e).__name__[:12]}")
+                row.append(f"ERR:{type(e).__name__[:10]}")
         print(f"{T:>8} {C:>5} {k:>2} {dil:>2} | " + " ".join(row))
 
 

@@ -140,6 +140,84 @@ def test_hybrid_api_codes_bit_exact(codec):
     assert np.max(np.abs(y32 - yhy)) < 5e-2
 
 
+def test_int8_conv_paths_close_to_f32(monkeypatch):
+    """W8A8 dynamic quantization (policy 'int8'): every conv formulation
+    (k>1, pointwise-einsum, transposed) stays within the ±0.5-LSB rounding
+    error of both operands (~1-2% relative at these scales) and returns f32.
+    The scalings commute exactly with the convolution — per-batch-row for
+    activations, per-output-channel for weights — so rounding is the ONLY
+    error source (ops/precision.quantize_dynamic). The fan-in gate is
+    forced to 0 here so the tiny test convs take the int8 path (production
+    keeps narrow convs on bfloat16_act — see INT8_MIN_FANIN)."""
+    from facodec_tpu.nn.conv import conv1d_ntc, conv_transpose1d_ntc
+
+    monkeypatch.setattr(precision, "INT8_MIN_FANIN", 0)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 64, 16), jnp.float32)
+    b = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (24,), jnp.float32)
+
+    w = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (24, 16, 7), jnp.float32)
+    ref = conv1d_ntc(x, w, b, padding=(3, 3))
+    with precision.policy("int8"):
+        q = conv1d_ntc(x, w, b, padding=(3, 3))
+    assert q.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(q - ref))) / float(jnp.max(jnp.abs(ref))) < 0.03
+
+    w1 = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (24, 16, 1), jnp.float32)
+    ref1 = conv1d_ntc(x, w1, b)
+    with precision.policy("int8"):
+        q1 = conv1d_ntc(x, w1, b)
+    assert float(jnp.max(jnp.abs(q1 - ref1))) / float(jnp.max(jnp.abs(ref1))) < 0.03
+
+    wt = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (16, 24, 8), jnp.float32)
+    rt = conv_transpose1d_ntc(x, wt, b, stride=4)
+    with precision.policy("int8"):
+        qt = conv_transpose1d_ntc(x, wt, b, stride=4)
+    assert float(jnp.max(jnp.abs(qt - rt))) / float(jnp.max(jnp.abs(rt))) < 0.03
+
+    # the VQ exact island opts out: identical bits under the policy
+    with precision.policy("int8"):
+        e = conv1d_ntc(x, w1, None, exact=True)
+    np.testing.assert_array_equal(
+        np.asarray(e), np.asarray(conv1d_ntc(x, w1, None, exact=True))
+    )
+
+
+def test_hybrid_int8_api_codes_bit_exact(codec, monkeypatch):
+    """precision="hybrid_int8" (f32 encode / selective W8A8-int8 decode):
+    codes and timbre BIT-EXACT vs f32 by construction; decoded wave within
+    the compounded per-layer quantization error (measured ~3.7% relative on
+    the tiny stack with the fan-in gate forced to 0 so every conv
+    quantizes — the worst case; production gates narrow convs out)."""
+    from facodec_tpu.api import FACodec
+
+    monkeypatch.setattr(precision, "INT8_MIN_FANIN", 0)
+    models, params = codec
+    wave = 0.3 * np.random.default_rng(9).standard_normal((1, 8 * 300)).astype(np.float32)
+    c32 = FACodec(models=models, params=params, n_c=2, precision="float32")
+    ci8 = FACodec(models=models, params=params, n_c=2, precision="hybrid_int8")
+    f32, fi8 = c32.encode(wave), ci8.encode(wave)
+    np.testing.assert_array_equal(f32.codes_p, fi8.codes_p)
+    np.testing.assert_array_equal(f32.codes_c, fi8.codes_c)
+    np.testing.assert_array_equal(f32.codes_r, fi8.codes_r)
+    np.testing.assert_array_equal(f32.timbre, fi8.timbre)
+    y32, y8 = c32.decode(f32), ci8.decode(fi8)
+    err = np.max(np.abs(y32 - y8))
+    scale = np.max(np.abs(y32)) + 1e-9
+    assert err / scale < 8e-2, (err, scale)
+
+
+def test_int8_train_step_rejected():
+    """int8 policies are inference-only (round() has zero gradient):
+    make_codec_train_step must refuse them instead of silently freezing
+    the quantized convs."""
+    from facodec_tpu.train.step import make_codec_train_step
+
+    for prec in ("int8", "hybrid_int8"):
+        with pytest.raises(ValueError, match="inference-only"):
+            make_codec_train_step({}, {}, precision=prec)
+
+
 def test_policy_scoping_and_validation():
     assert precision.get_policy() == "float32"
     with precision.policy("bf16"):
