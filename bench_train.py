@@ -53,7 +53,24 @@ def main(batch: int = 4, seg_frames: int = 80):
     # operands (see BASELINE.md).
     prec = os.environ.get("FACODEC_TRAIN_PRECISION", "float32")
     remat = os.environ.get("FACODEC_TRAIN_REMAT", "0") == "1"
-    step_fn = make_codec_train_step(models, optimizers, precision=prec, remat=remat)
+    # FACODEC_TRAIN_SPLIT=1|0: compile the two GAN phases as separate XLA
+    # modules (train/step.py make_codec_train_step_split). Default: auto —
+    # split at batch > 4, where the fused module's compile is SIGKILLed by
+    # this env's memory-capped remote compile helper (BASELINE.md round 3).
+    split_env = os.environ.get("FACODEC_TRAIN_SPLIT", "")
+    split = split_env == "1" if split_env else batch > 4
+    if split:
+        from facodec_tpu.train.step import make_codec_train_step_split
+
+        step_fn = make_codec_train_step_split(
+            models, optimizers, precision=prec, remat=remat
+        )
+        jit_step = step_fn  # manages its own two jits — must NOT be re-jitted
+    else:
+        step_fn = make_codec_train_step(
+            models, optimizers, precision=prec, remat=remat
+        )
+        jit_step = jax.jit(step_fn)
 
     tw = seg_frames * HOP
     rng = np.random.default_rng(0)
@@ -69,7 +86,6 @@ def main(batch: int = 4, seg_frames: int = 80):
         wave_lens=jnp.asarray([2 * tw] * batch, jnp.int32),
     )
     state = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
-    jit_step = jax.jit(step_fn)
 
     # steps chain through the optimizer state, so dispatching ITERS steps and
     # forcing only the final metrics measures all of them + one tunnel RTT
@@ -127,6 +143,7 @@ def main(batch: int = 4, seg_frames: int = 80):
         "unit": "ms",
         "precision": prec,
         "remat": remat,
+        "split": split,
         "batch": batch,
         "seg_frames": seg_frames,
         "audio_s_per_s": round(audio_per_step / dt, 2),

@@ -136,12 +136,25 @@ def run_training(
         f0_teacher = (JDCNet(), load_jdc_checkpoint(f0_path))
         print(f"inline F0 teacher: {f0_path}")
 
-    step_fn = jax.jit(
-        make_codec_train_step(
+    if cfg.get("split_step", False):
+        # `split_step: true` — compile the two GAN phases as separate XLA
+        # modules (one extra no-grad generator forward, paired-G disc call):
+        # the remedy when the fused module exceeds a compile memory cap
+        # (large per-chip batch, inline teachers) — see
+        # train/step.py make_codec_train_step_split.
+        from facodec_tpu.train.step import make_codec_train_step_split
+
+        step_fn = make_codec_train_step_split(
             models, optimizers, remat=bool(cfg.get("remat", False)),
             f0_teacher=f0_teacher,
         )
-    )
+    else:
+        step_fn = jax.jit(
+            make_codec_train_step(
+                models, optimizers, remat=bool(cfg.get("remat", False)),
+                f0_teacher=f0_teacher,
+            )
+        )
 
     if dataset is None:
         dataset = PseudoDataset(length=cfg.get("pseudo_dataset_len", 100))

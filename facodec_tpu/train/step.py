@@ -100,6 +100,75 @@ def make_codec_train_step(
       full_waves (B, Tmax) zero-padded full utterances (timbre encoder)
       wave_lens  (B,)      valid lengths of full_waves
     """
+    parts = _make_parts(models, remat=remat, precision=precision,
+                        f0_teacher=f0_teacher, paired_g=False)
+    gen_forward = parts["gen_forward"]
+    disc_loss_fn = parts["disc_loss_fn"]
+    gen_loss_from_outputs = parts["gen_loss_from_outputs"]
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        from facodec_tpu.ops.precision import policy
+
+        with policy(precision):
+            return _train_step(state, batch, rng)
+
+    def _train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        params, opt_states = dict(state.params), dict(state.opt_states)
+
+        gen_params = {k: params[k] for k in GEN_KEYS}
+        gen_outs, gen_vjp = jax.vjp(
+            lambda gp: gen_forward(gp, batch, rng), gen_params
+        )
+        pred_wave = gen_outs[0]
+        real_wave = batch["wave_seg"][:, :, None]
+
+        # -------- phase D
+        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
+            params["discriminator"], jax.lax.stop_gradient(pred_wave), real_wave
+        )
+        d_updates, opt_states["discriminator"] = optimizers["discriminator"].update(
+            d_grads, state.opt_states["discriminator"], params["discriminator"]
+        )
+        params["discriminator"] = optax.apply_updates(
+            params["discriminator"], d_updates
+        )
+
+        # -------- phase G (adv term sees the updated discriminator)
+        g_loss_fn = jax.checkpoint(gen_loss_from_outputs) if remat else gen_loss_from_outputs
+        (g_loss, metrics), outs_ct = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(gen_outs, params["discriminator"], batch)
+        gen_grads = gen_vjp(outs_ct)[0]
+
+        for key in GEN_KEYS:
+            updates, opt_states[key] = optimizers[key].update(
+                gen_grads[key], state.opt_states[key], params[key]
+            )
+            params[key] = optax.apply_updates(params[key], updates)
+
+        metrics["loss/disc"] = d_loss
+        for key in GEN_KEYS:
+            metrics[f"grad_norm/{key}"] = optax.global_norm(gen_grads[key])
+        metrics["grad_norm/discriminator"] = optax.global_norm(d_grads)
+
+        return TrainState(params, opt_states, state.step + 1), metrics
+
+    return train_step
+
+
+def _make_parts(
+    models: Mapping[str, Any],
+    remat: bool,
+    precision: str,
+    f0_teacher: Optional[Tuple[Any, Any]],
+    paired_g: bool,
+):
+    """Shared closures of the fused and split step variants: the generator
+    forward, the discriminator loss, and the generator loss-from-outputs.
+    `paired_g=True` runs phase G's two discriminator calls as ONE pass over
+    concat(fake, real) — same math (per-sample ops never mix batch rows),
+    measured ~3 ms faster at batch 4, but it grows the traced module (see
+    make_codec_train_step_split)."""
     if "int8" in str(precision):
         raise ValueError(
             f"precision={precision!r} is inference-only: the W8A8 round() "
@@ -176,13 +245,18 @@ def make_codec_train_step(
         stft_l = multi_scale_stft_loss(pw, rw)
         wav_l = l1_loss(pw, rw)
 
-        # ---- adversarial vs the UPDATED discriminator. Phase G keeps TWO
-        # discriminator calls: pairing here as well is a further ~3 ms
-        # (measured alone: 197.1 vs 200.5 ms), but pairing BOTH phases
-        # reproducibly OOM-kills the TPU compile helper (3/3 SIGKILL) —
-        # phase D is where the win lives (169.5 ms), so G stays unpaired.
-        d_fake = discriminator.apply({"params": disc_params}, pred_wave)
-        d_real = discriminator.apply({"params": disc_params}, real_wave)
+        # ---- adversarial vs the UPDATED discriminator. In the FUSED step
+        # phase G keeps TWO discriminator calls: pairing here as well is a
+        # further ~3 ms (measured alone: 197.1 vs 200.5 ms), but pairing BOTH
+        # phases in one module reproducibly OOM-kills the TPU compile helper
+        # (3/3 SIGKILL) — phase D is where the win lives (169.5 ms), so the
+        # fused G stays unpaired. The SPLIT step compiles phase G as its own
+        # module, where the paired call fits.
+        if paired_g:
+            d_fake, d_real = disc_apply_pair(disc_params, pred_wave, real_wave)
+        else:
+            d_fake = discriminator.apply({"params": disc_params}, pred_wave)
+            d_real = discriminator.apply({"params": disc_params}, real_wave)
         adv_l, feat_l = generator_adv_losses(d_fake, d_real)
 
         # ---- predictor supervision (+ gradient-reversal branches)
@@ -253,51 +327,108 @@ def make_codec_train_step(
         }
         return loss, metrics
 
-    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
-        from facodec_tpu.ops.precision import policy
+    return dict(
+        gen_forward=gen_forward,
+        disc_loss_fn=disc_loss_fn,
+        gen_loss_from_outputs=gen_loss_from_outputs,
+    )
 
+
+def make_codec_train_step_split(
+    models: Mapping[str, Any],
+    optimizers: Mapping[str, Any],
+    remat: bool = False,
+    precision: str = "float32",
+    f0_teacher: Optional[Tuple[Any, Any]] = None,
+    paired_g: bool = True,
+):
+    """The two-phase step compiled as TWO separate XLA modules.
+
+    Same semantics as `make_codec_train_step` (phase D on the old
+    discriminator, phase G's adversarial term against the UPDATED one —
+    reference train.py:280-380 ordering), but each phase is its own
+    `jax.jit`, at the cost of one extra no-grad generator forward in phase D
+    (the fused step reuses a held `jax.vjp` pullback across both phases;
+    a pullback cannot cross a jit boundary). The fake used by phase D is
+    bit-identical to phase G's (same rng => same quantizer/predictor
+    dropout).
+
+    Why it exists: this environment's remote TPU compile helper is
+    memory-capped — the FUSED module at batch >= 8, or with phase G's paired
+    discriminator call, is reproducibly SIGKILLed at compile time
+    (BASELINE.md round 3). Halving the traced module unblocks both: split
+    mode compiles batch 8+ AND enables `paired_g` (one concat(fake, real)
+    discriminator pass in phase G — measured ~3 ms at batch 4). Prefer the
+    fused step when it compiles (one dispatch, whole-step fusion); use this
+    for large per-chip batches.
+
+    Returns `train_step(state, batch, rng) -> (state, metrics)`. Do NOT wrap
+    it in jax.jit — it manages its own two jits (an outer jit would inline
+    them back into one module, defeating the point).
+    """
+    from facodec_tpu.ops.precision import policy
+
+    parts = _make_parts(models, remat=remat, precision=precision,
+                        f0_teacher=f0_teacher, paired_g=paired_g)
+    gen_forward = parts["gen_forward"]
+    disc_loss_fn = parts["disc_loss_fn"]
+    gen_loss_from_outputs = parts["gen_loss_from_outputs"]
+
+    def disc_phase(disc_params, disc_opt_state, gen_params, batch, rng):
         with policy(precision):
-            return _train_step(state, batch, rng)
-
-    def _train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
-        params, opt_states = dict(state.params), dict(state.opt_states)
-
-        gen_params = {k: params[k] for k in GEN_KEYS}
-        gen_outs, gen_vjp = jax.vjp(
-            lambda gp: gen_forward(gp, batch, rng), gen_params
-        )
-        pred_wave = gen_outs[0]
-        real_wave = batch["wave_seg"][:, :, None]
-
-        # -------- phase D
-        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
-            params["discriminator"], jax.lax.stop_gradient(pred_wave), real_wave
-        )
-        d_updates, opt_states["discriminator"] = optimizers["discriminator"].update(
-            d_grads, state.opt_states["discriminator"], params["discriminator"]
-        )
-        params["discriminator"] = optax.apply_updates(
-            params["discriminator"], d_updates
-        )
-
-        # -------- phase G (adv term sees the updated discriminator)
-        g_loss_fn = jax.checkpoint(gen_loss_from_outputs) if remat else gen_loss_from_outputs
-        (g_loss, metrics), outs_ct = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(gen_outs, params["discriminator"], batch)
-        gen_grads = gen_vjp(outs_ct)[0]
-
-        for key in GEN_KEYS:
-            updates, opt_states[key] = optimizers[key].update(
-                gen_grads[key], state.opt_states[key], params[key]
+            # full gen forward, but only pred_wave is used — XLA dead-code
+            # eliminates the predictor heads from this module
+            pred_wave = jax.lax.stop_gradient(
+                gen_forward(gen_params, batch, rng)[0]
             )
-            params[key] = optax.apply_updates(params[key], updates)
+            real_wave = batch["wave_seg"][:, :, None]
+            d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
+                disc_params, pred_wave, real_wave
+            )
+            d_updates, new_opt = optimizers["discriminator"].update(
+                d_grads, disc_opt_state, disc_params
+            )
+            new_params = optax.apply_updates(disc_params, d_updates)
+            return new_params, new_opt, d_loss, optax.global_norm(d_grads)
 
-        metrics["loss/disc"] = d_loss
+    def gen_phase(gen_params, gen_opt_states, disc_params, batch, rng):
+        with policy(precision):
+            def loss_fn(gp):
+                outs = gen_forward(gp, batch, rng)
+                g_fn = (jax.checkpoint(gen_loss_from_outputs) if remat
+                        else gen_loss_from_outputs)
+                return g_fn(outs, disc_params, batch)
+
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(gen_params)
+            new_params, new_opts = {}, {}
+            for key in GEN_KEYS:
+                updates, new_opts[key] = optimizers[key].update(
+                    grads[key], gen_opt_states[key], gen_params[key]
+                )
+                new_params[key] = optax.apply_updates(gen_params[key], updates)
+                metrics[f"grad_norm/{key}"] = optax.global_norm(grads[key])
+            return new_params, new_opts, metrics
+
+    disc_jit = jax.jit(disc_phase)
+    gen_jit = jax.jit(gen_phase)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        params, opt_states = dict(state.params), dict(state.opt_states)
+        gen_params = {k: params[k] for k in GEN_KEYS}
+        new_d, new_do, d_loss, d_gnorm = disc_jit(
+            params["discriminator"], opt_states["discriminator"],
+            gen_params, batch, rng,
+        )
+        params["discriminator"], opt_states["discriminator"] = new_d, new_do
+        new_gp, new_go, metrics = gen_jit(
+            gen_params, {k: opt_states[k] for k in GEN_KEYS}, new_d, batch, rng
+        )
         for key in GEN_KEYS:
-            metrics[f"grad_norm/{key}"] = optax.global_norm(gen_grads[key])
-        metrics["grad_norm/discriminator"] = optax.global_norm(d_grads)
-
+            params[key], opt_states[key] = new_gp[key], new_go[key]
+        metrics["loss/disc"] = d_loss
+        metrics["grad_norm/discriminator"] = d_gnorm
         return TrainState(params, opt_states, state.step + 1), metrics
 
     return train_step

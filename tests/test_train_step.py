@@ -199,6 +199,39 @@ def test_remat_step_matches(setup):
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
 
 
+def test_split_step_matches_fused(setup):
+    """make_codec_train_step_split (two jitted phases, extra no-grad forward,
+    paired-G discriminator call) produces the same update as the fused step —
+    both paired_g settings. Same rng => the phase-D fake is the same wave the
+    fused step's held vjp produced."""
+    from facodec_tpu.train.step import make_codec_train_step_split
+
+    models, params, optimizers, opt_states, step_fn = setup
+    batch = make_batch(np.random.default_rng(21))
+    rng = jax.random.PRNGKey(13)
+    s0 = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
+    s_a, m_a = step_fn(s0, batch, rng)
+    for paired in (False, True):
+        split_fn = make_codec_train_step_split(
+            models, optimizers, paired_g=paired
+        )
+        s_b, m_b = split_fn(s0, batch, rng)
+        assert int(s_b.step) == 1
+        for k in m_a:
+            np.testing.assert_allclose(
+                float(m_b[k]), float(m_a[k]), rtol=2e-4, atol=1e-5,
+                err_msg=f"metric {k} (paired_g={paired})",
+            )
+        for mod in s_a.params:
+            a = jax.tree.leaves(s_a.params[mod])
+            b = jax.tree.leaves(s_b.params[mod])
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(
+                    np.asarray(y), np.asarray(x), rtol=2e-4, atol=1e-6,
+                    err_msg=f"params {mod} (paired_g={paired})",
+                )
+
+
 def test_inline_f0_teacher_step(setup):
     """f0_teacher=(JDCNet, params) extracts F0 inside the jitted step
     (reference train.py:214-216 semantics). The step must (a) run and stay
