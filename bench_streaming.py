@@ -38,6 +38,7 @@ def _cache():
 def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
     from facodec_tpu.models.builder import init_params
     from facodec_tpu.models.dac import Decoder, Encoder
+    from facodec_tpu.models.latency import codec_latency
     from facodec_tpu.models.fa_quantizer import FAquantizer
     from facodec_tpu.models.streaming import StreamingFACodec
 
@@ -110,6 +111,15 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
         "prime_ms": round(sess.prime_frames * HOP / SR * 1e3, 1),
         "rtf_interactive": round(chunk_ms / p50, 2),
         "rtf_device": round(chunk_ms / dev_ms, 2),
+        # analytic per-config delay figures (models/latency.py, reference
+        # dac/model/base.py:82-123 semantics)
+        "latency_analytic": {
+            k: v for k, v in codec_latency(
+                tuple(enc.strides), tuple(dec.rates), causal=enc.causal,
+                sample_rate=SR, chunk_frames=chunk_frames,
+            ).as_dict().items()
+            if k.endswith("_ms") or k in ("hop", "causal", "lookahead")
+        },
         "redecoder_vc": bench_redecoder_vc(chunk_frames, batch),
         "group_capacity": bench_group_capacity(sess),
     }))

@@ -55,10 +55,11 @@ def main(batch: int = 4, seg_frames: int = 80):
     remat = os.environ.get("FACODEC_TRAIN_REMAT", "0") == "1"
     # FACODEC_TRAIN_SPLIT=1|0: compile the two GAN phases as separate XLA
     # modules (train/step.py make_codec_train_step_split). Default: auto —
-    # split at batch > 4, where the fused module's compile is SIGKILLed by
-    # this env's memory-capped remote compile helper (BASELINE.md round 3).
+    # split at batch >= 8, the measured point where the fused module's
+    # compile is SIGKILLed by this env's memory-capped remote compile helper
+    # (BASELINE.md round 3); batches 5-7 keep whole-step fusion.
     split_env = os.environ.get("FACODEC_TRAIN_SPLIT", "")
-    split = split_env == "1" if split_env else batch > 4
+    split = split_env == "1" if split_env else batch >= 8
     if split:
         from facodec_tpu.train.step import make_codec_train_step_split
 

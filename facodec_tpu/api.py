@@ -375,6 +375,21 @@ class FACodec:
         _, _, timbre = self._enc(self.params, w)
         return np.asarray(timbre)[:B0]
 
+    def latency(self, chunk_frames: Optional[int] = None,
+                sample_rate: int = 24000):
+        """Analytic delay/latency report for this config (reference
+        get_delay/get_output_length, dac/model/base.py:82-123): algorithmic
+        latency, lookahead (0 for the causal flagship), conv receptive
+        fields, and — given `chunk_frames` — the exact-streaming session's
+        chunk buffering and first-emission (priming) requirement."""
+        from facodec_tpu.models.latency import codec_latency
+
+        enc, dec = self.models["encoder"], self.models["decoder"]
+        return codec_latency(
+            tuple(enc.strides), tuple(dec.rates), causal=enc.causal,
+            sample_rate=sample_rate, chunk_frames=chunk_frames,
+        )
+
 
 @dataclass
 class FARedecoder:

@@ -85,6 +85,20 @@ def min_first_frames_decoder(rates: Tuple[int, ...]) -> int:
     return worst
 
 
+def prime_frames_for(strides: Tuple[int, ...], rates: Tuple[int, ...],
+                     chunk_frames: int) -> int:
+    """Latent frames a `StreamingFACodec` session buffers before its first
+    emission: the smallest chunk multiple covering every reflect span
+    (encoder convs + mel front context, decoder's deepest span + 1, the
+    prosody WN's k=5 span). Shared with `models.latency.codec_latency`."""
+    need = max(
+        min_prime_frames_encoder(strides),
+        min_first_frames_decoder(rates) + 1,
+        5 + 1,
+    )
+    return math.ceil(need / chunk_frames) * chunk_frames
+
+
 def _mel_frames(wave_ctx: jnp.ndarray, n_frames: int, sample_rate: int,
                 n_mels: int = 80) -> jnp.ndarray:
     """(B, n_frames*HOP + WIN - HOP) exact context -> (B, n_frames, n_mels)
@@ -140,12 +154,9 @@ class StreamingFACodec:
         assert C >= 1
         # first emission is prime_frames-1 frames; it must cover the
         # decoder's deepest reflect span AND the prosody WN's k=5 span
-        need = max(
-            min_prime_frames_encoder(self.encoder.strides),
-            min_first_frames_decoder(self.decoder.rates) + 1,
-            5 + 1,
+        self.prime_frames = prime_frames_for(
+            self.encoder.strides, self.decoder.rates, C
         )
-        self.prime_frames = math.ceil(need / C) * C
         enc, qt, dec = self.encoder, self.quantizer, self.decoder
 
         def encode_step(params, wave_chunk, timbre, state, first: bool):

@@ -350,8 +350,9 @@ def make_codec_train_step_split(
     `jax.jit`, at the cost of one extra no-grad generator forward in phase D
     (the fused step reuses a held `jax.vjp` pullback across both phases;
     a pullback cannot cross a jit boundary). The fake used by phase D is
-    bit-identical to phase G's (same rng => same quantizer/predictor
-    dropout).
+    rng-identical to phase G's (same quantizer/predictor dropout masks), but
+    only numerically equal up to XLA fusion differences — the two phases
+    compile as separate modules, so the floats are not bit-identical.
 
     Why it exists: this environment's remote TPU compile helper is
     memory-capped — the FUSED module at batch >= 8, or with phase G's paired

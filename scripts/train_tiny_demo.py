@@ -1,0 +1,225 @@
+"""Demonstrate that the training stack LEARNS (VERDICT r3 #6).
+
+Runs the real codec GAN loop (train/loop.py run_training — the reference
+train.py:171-487 semantics) for a few hundred steps on a tiny-width config
+over a small deterministic speech-like synthetic set, then writes
+`examples/tiny_train_curve.json`: the logged mel-loss curve plus a
+before/after reconstruction mel-L1 on a held-out utterance. The artifact
+replaces the random-weights caveat in examples/scorecard.json with trained
+provenance at demo scale.
+
+    python scripts/train_tiny_demo.py [--steps 400] [--out examples/tiny_train_curve.json]
+
+CPU-friendly: tiny widths (tests/tiny_config.yml scale), ~1 s segments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SR, HOP = 24000, 300
+
+CFG_TEXT = """
+log_dir: "{log_dir}"
+seed: 0
+save_freq: 1000
+log_interval: 5
+save_interval: 100000
+epochs: 100000
+batch_size: 4
+max_len: 40
+
+preprocess_params:
+  sr: 24000
+  spect_params: {{n_fft: 2048, win_length: 1200, hop_length: 300}}
+
+model_params:
+  causal: True
+  lstm: 1
+  norm_f0: True
+  use_gr_content_f0: False
+  use_gr_prosody_phone: False
+  use_gr_timbre_prosody: False
+  separate_prosody_encoder: True
+  n_c_codebooks: 2
+  timbre_norm: True
+  use_gr_content_global_f0: True
+  latent_dim: 64
+  codebook_size: 32
+  style_hidden_dim: 32
+  prosody_hidden_dim: 16
+  n_phone_classes: 8
+  n_speakers: 4
+  DAC:
+    encoder_dim: 4
+    encoder_rates: [2, 5, 5, 6]
+    decoder_dim: 32
+    decoder_rates: [6, 5, 5, 2]
+    sr: 24000
+
+loss_params:
+  base_lr: 0.0005
+"""
+
+
+class SyntheticSpeechDataset:
+    """Deterministic speech-like utterances: pitch-modulated harmonic
+    stacks, one 'speaker' per base F0 (distinct spectral tilt), phone ids
+    tracking the amplitude-envelope phase — real structure for every loss
+    head (mel, F0, phones, speaker), unlike PseudoDataset's noise."""
+
+    def __init__(self, n: int = 8, seconds: float = 1.6):
+        from facodec_tpu.train.data import MelConfig, compute_mel
+
+        self.items = []
+        for i in range(n):
+            f0_base = 110.0 * (1.3 ** (i % 4))
+            t = np.arange(int(seconds * SR) // HOP * HOP) / SR
+            vib = f0_base * (1 + 0.06 * np.sin(2 * np.pi * (2.5 + 0.3 * i) * t))
+            phase = 2 * np.pi * np.cumsum(vib) / SR
+            tilt = 0.5 + 0.5 * (i % 4) / 3.0
+            x = sum(np.sin(k * phase) * tilt ** (k - 1) / k for k in range(1, 6))
+            env = 0.55 + 0.45 * np.sin(2 * np.pi * (1.3 + 0.2 * i) * t) ** 2
+            x = (0.4 * x * env / np.abs(x * env).max()).astype(np.float32)
+            frames = len(x) // HOP
+            fidx = np.minimum(np.arange(frames) * HOP, len(t) - 1)
+            self.items.append(dict(
+                wave=x,
+                mel=compute_mel(x, MelConfig()),
+                f0=vib[fidx].astype(np.float32),
+                phone_ids=(np.floor(env[fidx] * 7.99)).astype(np.int32),
+                spk_label=np.int32(i % 4),
+            ))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        return self.items[idx]
+
+
+class CaptureWriter:
+    """SummaryWriter-compatible scalar capture."""
+
+    def __init__(self):
+        self.scalars = {}
+
+    def add_scalar(self, tag, value, step):
+        self.scalars.setdefault(tag, []).append((int(step), float(value)))
+
+    def add_audio(self, *a, **k):
+        pass
+
+
+def _mel_l1(a: np.ndarray, b: np.ndarray) -> float:
+    import jax.numpy as jnp
+
+    from facodec_tpu.ops.spectral import log_mel_spectrogram
+
+    n = min(a.shape[-1], b.shape[-1])
+    ma = log_mel_spectrogram(jnp.asarray(a[..., :n]))
+    mb = log_mel_spectrogram(jnp.asarray(b[..., :n]))
+    return float(jnp.mean(jnp.abs(ma - mb)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--out", default=os.path.join(REPO, "examples",
+                                                  "tiny_train_curve.json"))
+    ap.add_argument("--workdir", default="/tmp/facodec_tiny_train_demo")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from facodec_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import shutil
+
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    os.makedirs(args.workdir, exist_ok=True)
+    cfg_path = os.path.join(args.workdir, "config.yml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG_TEXT.format(log_dir=args.workdir))
+
+    from facodec_tpu.models.builder import build_model, init_params
+    from facodec_tpu.train.loop import run_training
+    from facodec_tpu.utils.config import load_config
+
+    dataset = SyntheticSpeechDataset()
+    holdout = SyntheticSpeechDataset(n=9).items[-1]["wave"]  # not in train set
+
+    cfg = load_config(cfg_path)
+    models = build_model(cfg.model_params, stage="codec")
+
+    def reconstruct(params, wave):
+        import jax.numpy as jnp
+
+        enc, qt, dec = (models[k] for k in ("encoder", "quantizer", "decoder"))
+        w = jnp.asarray(wave[None])
+        z = enc.apply({"params": params["encoder"]}, w[:, :, None])
+        outs, *_ = qt.apply({"params": params["quantizer"]}, z, w, n_c=2)
+        return np.asarray(dec.apply({"params": params["decoder"]}, outs)[:, :, 0])[0]
+
+    params0 = init_params(models, jax.random.PRNGKey(cfg.get("seed", 0)))
+    before = _mel_l1(holdout, reconstruct(params0, holdout))
+
+    writer = CaptureWriter()
+    t0 = time.time()
+    state = run_training(cfg_path, dataset=dataset, max_steps=args.steps,
+                         log_writer=writer, models=models)
+    wall = time.time() - t0
+
+    after = _mel_l1(holdout, reconstruct(jax.device_get(state.params), holdout))
+
+    mel_curve = writer.scalars.get("train/loss/mel", [])
+    head = np.mean([v for _, v in mel_curve[:5]]) if mel_curve else None
+    tail = np.mean([v for _, v in mel_curve[-5:]]) if mel_curve else None
+    out = {
+        "provenance": {
+            "what": "real codec GAN loop (train/loop.py) on deterministic "
+                    "synthetic speech-like set; tiny widths "
+                    "(tests/tiny_config.yml scale)",
+            "steps": args.steps,
+            "wall_seconds": round(wall, 1),
+            "weights": "TRAINED from seed-0 init by this script",
+        },
+        "train_mel_loss_curve": [
+            {"step": s, "value": round(v, 4)} for s, v in mel_curve
+        ],
+        "train_mel_first5_mean": round(float(head), 4) if head else None,
+        "train_mel_last5_mean": round(float(tail), 4) if tail else None,
+        "holdout_recon_mel_l1_before": round(before, 4),
+        "holdout_recon_mel_l1_after": round(after, 4),
+        "other_final_losses": {
+            tag.removeprefix("train/"): round(vals[-1][1], 4)
+            for tag, vals in sorted(writer.scalars.items())
+            if tag.startswith("train/loss/")
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+    print(json.dumps({
+        "mel_first5": out["train_mel_first5_mean"],
+        "mel_last5": out["train_mel_last5_mean"],
+        "holdout_before": out["holdout_recon_mel_l1_before"],
+        "holdout_after": out["holdout_recon_mel_l1_after"],
+        "wall_s": round(wall, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

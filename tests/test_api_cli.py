@@ -333,6 +333,57 @@ def test_webui_gated():
         build_interface(codec=None)
 
 
+def test_webui_build_interface_wiring(monkeypatch):
+    """`build_interface` wiring (reference webui.py:54-81): runs against the
+    real gradio when importable, otherwise against a minimal structural stub
+    — both tabs built, each button clicked to the right handler with the
+    right in/out arity."""
+    import sys
+    import types
+
+    try:
+        import gradio  # noqa: F401
+
+        stub = None
+    except ImportError:
+        clicks = []
+
+        class _Ctx:
+            def __init__(self, label=None, **kw):
+                self.label = label
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def click(self, fn, inputs=None, outputs=None):
+                clicks.append((fn, inputs, outputs))
+
+        stub = types.ModuleType("gradio")
+        stub.Blocks = stub.Tab = stub.Audio = stub.Button = _Ctx
+        monkeypatch.setitem(sys.modules, "gradio", stub)
+
+    from facodec_tpu.api import FACodec, FARedecoder
+    from facodec_tpu.webui import build_interface
+
+    c = FACodec.from_config(TINY, n_c=1)
+    red = FARedecoder.from_config(TINY)
+    demo = build_interface(c, red, sr=SR)
+    assert demo is not None
+    if stub is not None:
+        assert len(clicks) == 2
+        (rec_fn, rec_in, rec_out), (cv_fn, cv_in, cv_out) = clicks
+        assert not isinstance(rec_in, list) and not isinstance(rec_out, list)
+        assert isinstance(cv_in, list) and len(cv_in) == 2
+        # handlers actually callable end to end through the wired objects
+        sr_out, out = rec_fn((SR, (tone(0.5) * 32767).astype(np.int16)))
+        assert sr_out == SR and out.dtype == np.int16
+    # codec-only interface builds too (no VC tab)
+    assert build_interface(c, None, sr=SR) is not None
+
+
 def test_webui_reconstruct_handler(codec):
     """The tab callbacks are gradio-free (make_handlers) so they run here:
     int16 stereo in -> int16 mono out, and integer PCM is detected BEFORE

@@ -222,12 +222,21 @@ def test_split_step_matches_fused(setup):
                 float(m_b[k]), float(m_a[k]), rtol=2e-4, atol=1e-5,
                 err_msg=f"metric {k} (paired_g={paired})",
             )
+        # Param tolerance: split and fused compile as DIFFERENT XLA modules,
+        # so their gradients agree only up to fusion-order float noise. A
+        # step-1 AdamW update is ~lr*sign(m/sqrt(v)); where the true grad is
+        # itself noise-level, the sign can flip between the two modules and
+        # the params then differ by up to 2*lr even though nothing is wrong.
+        # atol = 2*lr (+margin) admits exactly that; a genuine grad-path
+        # divergence (wrong cotangent, dropped term) moves metrics too, which
+        # ARE checked tightly above.
+        lr_atol = 2.5e-4  # 2.5 x base_lr (1e-4)
         for mod in s_a.params:
             a = jax.tree.leaves(s_a.params[mod])
             b = jax.tree.leaves(s_b.params[mod])
             for x, y in zip(a, b):
                 np.testing.assert_allclose(
-                    np.asarray(y), np.asarray(x), rtol=2e-4, atol=1e-6,
+                    np.asarray(y), np.asarray(x), rtol=2e-4, atol=lr_atol,
                     err_msg=f"params {mod} (paired_g={paired})",
                 )
 

@@ -109,3 +109,30 @@ def test_validate_golden_roundtrip(ckpt_and_config, capsys, tmp_path):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["codes_bit_exact"] is False
     assert rc == 1
+
+
+@pytest.mark.slow
+def test_validate_flagship_golden(capsys, tmp_path):
+    """The checked-in FLAGSHIP-width golden capsule (VERDICT r3 #5): the
+    full `--golden` gate executes at the released architecture's widths
+    today, against the seeded random-weight checkpoint the capsule was
+    emitted from (scripts/emit_golden_flagship.py). Swapping in the real
+    `Plachta/FAcodec` checkpoint later changes only the --ckpt path.
+
+    A failure here after a torch upgrade means the seeded weights drifted —
+    regenerate with `python scripts/emit_golden_flagship.py`."""
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    golden = os.path.join(repo, "examples", "golden_flagship.npz")
+    assert os.path.exists(golden), "run scripts/emit_golden_flagship.py"
+    _sys.path.insert(0, os.path.join(repo, "scripts"))
+    from emit_golden_flagship import SECONDS, write_flagship_ckpt
+
+    ckpt, config = write_flagship_ckpt(str(tmp_path))
+    rc = _run(["--ckpt", ckpt, "--config", config, "--seconds", str(SECONDS),
+               "--golden", golden, "--mel-threshold", "0.05"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["source"] == "golden-file"
+    assert out["codes_bit_exact"] is True
+    assert rc == 0 and out["pass"] is True
