@@ -90,6 +90,7 @@ def test_bf16_act_decoder_close_and_dtype(codec):
     assert err / scale < 8e-2, (err, scale)
 
 
+@pytest.mark.slow  # full streaming-session compile set under two precision policies
 def test_bf16_streaming_codes_match_oneshot(codec):
     """Chunked streaming under bf16 emits the same codes as one-shot bf16
     (the bf16 analogue of test_streaming.py's full-pipeline exactness)."""
@@ -140,6 +141,7 @@ def test_hybrid_api_codes_bit_exact(codec):
     assert np.max(np.abs(y32 - yhy)) < 5e-2
 
 
+@pytest.mark.slow  # int8 policy trace of every conv variant
 def test_int8_conv_paths_close_to_f32(monkeypatch):
     """W8A8 dynamic quantization (policy 'int8'): every conv formulation
     (k>1, pointwise-einsum, transposed) stays within the ±0.5-LSB rounding
@@ -183,6 +185,7 @@ def test_int8_conv_paths_close_to_f32(monkeypatch):
     )
 
 
+@pytest.mark.slow  # full int8-decode round-trip compile (opt-in policy)
 def test_hybrid_int8_api_codes_bit_exact(codec, monkeypatch):
     """precision="hybrid_int8" (f32 encode / selective W8A8-int8 decode):
     codes and timbre BIT-EXACT vs f32 by construction; decoded wave within
@@ -287,6 +290,7 @@ def test_bf16_train_step_finite():
     assert all(l.dtype == jnp.float32 for l in leaves if jnp.issubdtype(l.dtype, jnp.floating))
 
 
+@pytest.mark.slow  # two more full GAN-step compiles (bf16_act x fused)
 def test_bf16_act_train_step_parity():
     """GAN step under bfloat16_act (bf16 activations BETWEEN layers — the
     memory-fitting training config, VERDICT r2 weak #2) vs float32: same

@@ -247,6 +247,7 @@ def test_run_scan_matches_chunk_loop(chunk, n_chunks):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # extra full session + swapped-timbre decode compiles; VC streaming is also covered fast by the redecoder test
 def test_streaming_timbre_swap_vc_exact():
     """REAL-TIME ZERO-SHOT VC: streaming with a *target* utterance's timbre
     equals the one-shot timbre-swap decode (codes are timbre-independent;

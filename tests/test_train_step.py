@@ -199,6 +199,7 @@ def test_remat_step_matches(setup):
     np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow  # three full GAN-step compiles (fused + 2 split legs), ~4 min cold
 def test_split_step_matches_fused(setup):
     """make_codec_train_step_split (two jitted phases, extra no-grad forward,
     paired-G discriminator call) produces the same update as the fused step —
@@ -241,6 +242,7 @@ def test_split_step_matches_fused(setup):
                 )
 
 
+@pytest.mark.slow  # second full GAN-step compile with the inline JDC teacher
 def test_inline_f0_teacher_step(setup):
     """f0_teacher=(JDCNet, params) extracts F0 inside the jitted step
     (reference train.py:214-216 semantics). The step must (a) run and stay
