@@ -37,6 +37,7 @@ save_interval: 100000
 epochs: 100000
 batch_size: 4
 max_len: 40
+split_step: true
 
 preprocess_params:
   sr: 24000
@@ -115,6 +116,8 @@ class CaptureWriter:
 
     def add_scalar(self, tag, value, step):
         self.scalars.setdefault(tag, []).append((int(step), float(value)))
+        if tag == "train/loss/mel" and step % 25 == 0:
+            print(f"step {int(step)}: mel {float(value):.4f}", flush=True)
 
     def add_audio(self, *a, **k):
         pass
@@ -126,8 +129,8 @@ def _mel_l1(a: np.ndarray, b: np.ndarray) -> float:
     from facodec_tpu.ops.spectral import log_mel_spectrogram
 
     n = min(a.shape[-1], b.shape[-1])
-    ma = log_mel_spectrogram(jnp.asarray(a[..., :n]))
-    mb = log_mel_spectrogram(jnp.asarray(b[..., :n]))
+    ma = log_mel_spectrogram(jnp.asarray(a[..., :n]).reshape(1, n))
+    mb = log_mel_spectrogram(jnp.asarray(b[..., :n]).reshape(1, n))
     return float(jnp.mean(jnp.abs(ma - mb)))
 
 
@@ -137,11 +140,24 @@ def main(argv=None):
     ap.add_argument("--out", default=os.path.join(REPO, "examples",
                                                   "tiny_train_curve.json"))
     ap.add_argument("--workdir", default="/tmp/facodec_tiny_train_demo")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                    help="'default' uses the attached TPU when present "
+                         "(minutes instead of hours on the 1-core CPU host)")
     args = ap.parse_args(argv)
 
+    if args.platform == "cpu":
+        # correctness/learning artifact, not a benchmark: opt-level 0 halves
+        # the CPU LLVM codegen of the GAN-step compile on the 1-core host
+        # (same lesson as __graft_entry__.dryrun_multichip); the resulting
+        # UNOPTIMIZED executables run ~24 s/step — prefer --platform default
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_backend_optimization_level=0"
+        )
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from facodec_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
