@@ -60,11 +60,20 @@ def main(batch: int = 4, seg_frames: int = 80):
     # (BASELINE.md round 3); batches 5-7 keep whole-step fusion.
     split_env = os.environ.get("FACODEC_TRAIN_SPLIT", "")
     split = split_env == "1" if split_env else batch >= 8
+    # FACODEC_TRAIN_PAIRED_G=0: phase G's two discriminator calls stay
+    # separate B-sized passes instead of one concat(fake, real) 2B pass —
+    # ~3 ms slower at batch 4 but halves phase G's discriminator activation
+    # peak, the difference between fitting and OOM at large per-chip batch.
+    paired_g = os.environ.get("FACODEC_TRAIN_PAIRED_G", "1") != "0"
     if split:
         from facodec_tpu.train.step import make_codec_train_step_split
 
+        # donate=True is what makes batch 16 fit: it aliases each phase's
+        # params+opt inputs to outputs instead of holding both copies
+        # (~3.4 GiB) across the gen phase (see train/step.py).
         step_fn = make_codec_train_step_split(
-            models, optimizers, precision=prec, remat=remat
+            models, optimizers, precision=prec, remat=remat,
+            paired_g=paired_g, donate=True,
         )
         jit_step = step_fn  # manages its own two jits — must NOT be re-jitted
     else:
@@ -90,14 +99,16 @@ def main(batch: int = 4, seg_frames: int = 80):
 
     # steps chain through the optimizer state, so dispatching ITERS steps and
     # forcing only the final metrics measures all of them + one tunnel RTT
-    # (a lax.scan fusion would exceed the remote-compile size limit here)
+    # (a lax.scan fusion would exceed the remote-compile size limit here).
+    # The split step donates params+opt buffers, so `state` is dead after the
+    # first call — every window chains from the running `st`.
     st, metrics = jit_step(state, batch_data, jax.random.PRNGKey(1))
+    del state
     float(metrics["loss/gen_all"])  # warmup / compile
 
     key = jax.random.PRNGKey(2)
     ts = []
     for _ in range(3):
-        st = state
         t0 = time.perf_counter()
         for _ in range(ITERS):
             key, sub = jax.random.split(key)
@@ -122,7 +133,6 @@ def main(batch: int = 4, seg_frames: int = 80):
                 if k in batch_data}
 
     it = prefetch(shard_iterator(ds, batch, shuffle=False), _prepare, depth=2)
-    st = state
     first = next(it)  # shape warmup outside the timed window
     st, metrics = jit_step(st, first, jax.random.PRNGKey(3))
     float(metrics["loss/gen_all"])
@@ -145,6 +155,7 @@ def main(batch: int = 4, seg_frames: int = 80):
         "precision": prec,
         "remat": remat,
         "split": split,
+        "paired_g": paired_g,
         "batch": batch,
         "seg_frames": seg_frames,
         "audio_s_per_s": round(audio_per_step / dt, 2),

@@ -144,9 +144,13 @@ def run_training(
         # train/step.py make_codec_train_step_split.
         from facodec_tpu.train.step import make_codec_train_step_split
 
+        # donate: the loop discards the pre-step TrainState, so each phase's
+        # params+opt buffers alias into the outputs — the ~3.4 GiB saving
+        # that lets batch 16 fit one 16 GiB chip (see train/step.py). On
+        # backends without donation (CPU) JAX ignores it with a warning.
         step_fn = make_codec_train_step_split(
             models, optimizers, remat=bool(cfg.get("remat", False)),
-            f0_teacher=f0_teacher,
+            f0_teacher=f0_teacher, donate=bool(cfg.get("donate_params", True)),
         )
     else:
         step_fn = jax.jit(

@@ -341,6 +341,7 @@ def make_codec_train_step_split(
     precision: str = "float32",
     f0_teacher: Optional[Tuple[Any, Any]] = None,
     paired_g: bool = True,
+    donate: bool = False,
 ):
     """The two-phase step compiled as TWO separate XLA modules.
 
@@ -412,8 +413,15 @@ def make_codec_train_step_split(
                 metrics[f"grad_norm/{key}"] = optax.global_norm(grads[key])
             return new_params, new_opts, metrics
 
-    disc_jit = jax.jit(disc_phase)
-    gen_jit = jax.jit(gen_phase)
+    # donate=True aliases each phase's params + opt-state inputs to its
+    # outputs: without it, batch 16 holds BOTH copies of the generator's
+    # ~3.4 GiB params+opt across the gen phase and OOMs the 16 GiB chip
+    # (AOT: gen temp 5.1 GiB + args 3.61 + un-aliased out 3.43, measured
+    # scripts/memory_budget_split.py). Off by default because donation
+    # invalidates the caller's pre-step TrainState — parity tests reuse it.
+    dkw = dict(donate_argnums=(0, 1)) if donate else {}
+    disc_jit = jax.jit(disc_phase, **dkw)
+    gen_jit = jax.jit(gen_phase, **dkw)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         params, opt_states = dict(state.params), dict(state.opt_states)
@@ -432,4 +440,8 @@ def make_codec_train_step_split(
         metrics["grad_norm/discriminator"] = d_gnorm
         return TrainState(params, opt_states, state.step + 1), metrics
 
+    # expose the per-phase jits for AOT diagnostics
+    # (scripts/memory_budget_split.py lowers each with .memory_analysis())
+    train_step.disc_jit = disc_jit
+    train_step.gen_jit = gen_jit
     return train_step
