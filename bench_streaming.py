@@ -61,8 +61,10 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
         chunk = 0.1 * jax.random.normal(sub, (batch, chunk_frames * HOP), jnp.float32)
         float(jnp.sum(chunk))  # make input ready before timing
         t0 = time.perf_counter()
-        est, outs, codes = sess.encode_chunk(est, chunk, timbre)
-        dst, wave = sess.decode_chunk(dst, outs)
+        # fused single-dispatch roundtrip: one device call per chunk (the
+        # two-call encode/decode path pays a second dispatch, which
+        # dominates at 50 ms chunks — round-4 trace: 1.08 ms device ops)
+        est, dst, wave, codes = sess.roundtrip_chunk(est, dst, chunk, timbre)
         if wave is None:  # priming (chunk_frames < reflect span): no emission yet
             continue
         float(wave[0, -1])  # force completion
@@ -85,16 +87,24 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
         for i in range(M)
     ]
     jax.block_until_ready(chunks)
-    ts = []
+    ts, ts2 = [], []
     for _ in range(3):
+        t0 = time.perf_counter()
+        e2, d2 = est, dst
+        for c in chunks:
+            e2, d2, w, _ = sess.roundtrip_chunk(e2, d2, c, timbre)
+        float(w[0, -1])
+        ts.append(time.perf_counter() - t0)
+        # two-call comparison leg (encode + decode as separate dispatches)
         t0 = time.perf_counter()
         e2, d2 = est, dst
         for c in chunks:
             e2, outs, _ = sess.encode_chunk(e2, c, timbre)
             d2, w = sess.decode_chunk(d2, outs)
         float(w[0, -1])
-        ts.append(time.perf_counter() - t0)
+        ts2.append(time.perf_counter() - t0)
     dev_ms = min(ts) / M * 1e3
+    dev_ms_2call = min(ts2) / M * 1e3
 
     # end-to-end latency a listener experiences in steady state: buffer one
     # chunk (chunk_ms) + 1 frame algorithmic mel lookahead + compute (p50,
@@ -107,6 +117,7 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
         "chunk_ms": round(chunk_ms, 1),
         "p99_ms": round(p99, 2),
         "device_only_ms": round(dev_ms, 2),
+        "device_only_2call_ms": round(dev_ms_2call, 2),
         "e2e_latency_ms": round(e2e, 2),
         "prime_ms": round(sess.prime_frames * HOP / SR * 1e3, 1),
         "rtf_interactive": round(chunk_ms / p50, 2),

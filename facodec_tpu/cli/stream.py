@@ -56,8 +56,8 @@ def main(args: argparse.Namespace) -> str:
     w = jnp.asarray(wave)[None]
     for i in range(0, T, step):
         t0 = time.perf_counter()
-        est, outs, codes = sess.encode_chunk(est, w[:, i : i + step], timbre)
-        dst, y = sess.decode_chunk(dst, outs)
+        # fused encode+decode: one device dispatch per chunk
+        est, dst, y, codes = sess.roundtrip_chunk(est, dst, w[:, i : i + step], timbre)
         if y is None:  # small chunks buffer until the priming step
             continue
         y = np.asarray(y)  # forces completion (real-time consumer boundary)

@@ -258,8 +258,11 @@ class _ConnEngine:
             self._dst = sess.init_decode_state(1)
             t0 = time.perf_counter()
             with svc.lock:
-                self._est, outs, _ = sess.encode_chunk(self._est, prime, timbre)
-                self._dst, wave = sess.decode_chunk(self._dst, outs)
+                # fused single-dispatch roundtrip: per-chunk latency is
+                # dispatch-bound, not device-bound (models/streaming.py)
+                self._est, self._dst, wave, _ = sess.roundtrip_chunk(
+                    self._est, self._dst, prime, timbre
+                )
             self.streaming._record_chunk(time.perf_counter() - t0)
             return np.asarray(wave)[0]
         if self.mode == "group":
@@ -268,10 +271,9 @@ class _ConnEngine:
             )
         t0 = time.perf_counter()
         with svc.lock:
-            self._est, outs, _ = sess.encode_chunk(
-                self._est, jnp.asarray(chunk)[None, :], timbre
+            self._est, self._dst, wave, _ = sess.roundtrip_chunk(
+                self._est, self._dst, jnp.asarray(chunk)[None, :], timbre
             )
-            self._dst, wave = sess.decode_chunk(self._dst, outs)
         self.streaming._record_chunk(time.perf_counter() - t0)
         return np.asarray(wave)[0]
 

@@ -57,8 +57,10 @@ def live_grouped():
 
 
 def session_loop_reference(streaming, wave, timbre, chunk_frames):
-    """The interactive session loop the server must match bit for bit
-    (same pattern as tests/test_streaming.py::test_full_codec_streaming_exact)."""
+    """The interactive session loop the server must match bit for bit.
+    Uses the fused roundtrip_chunk — the same compiled module the server's
+    solo path runs (the two-call composition is float-noise different under
+    XLA fusion, so bit-exactness requires matching the call structure)."""
     import jax.numpy as jnp
 
     sess = streaming.session(chunk_frames)
@@ -68,8 +70,7 @@ def session_loop_reference(streaming, wave, timbre, chunk_frames):
     parts = []
     step = chunk_frames * HOP
     for i in range(0, w.shape[1], step):
-        est, outs, _ = sess.encode_chunk(est, w[:, i : i + step], t)
-        dst, out = sess.decode_chunk(dst, outs)
+        est, dst, out, _ = sess.roundtrip_chunk(est, dst, w[:, i : i + step], t)
         if out is not None:
             parts.append(np.asarray(out)[0])
     outs_t, _ = sess.flush_encode(est, t)

@@ -192,6 +192,64 @@ def test_full_codec_streaming_exact(chunk):
     )
 
 
+@pytest.mark.parametrize("chunk", [6, 12])
+def test_roundtrip_chunk_matches_separate_calls(chunk):
+    """Fused single-dispatch roundtrip_chunk == encode_chunk + decode_chunk
+    (codes bit-exact, waves to float noise), through priming and steady
+    state. The fused path exists because per-chunk dispatch, not device
+    time, bounds interactive streaming latency (round-4 trace)."""
+    from facodec_tpu.models.builder import init_params
+    from facodec_tpu.models.fa_quantizer import FAquantizer
+    from facodec_tpu.models.streaming import StreamingFACodec
+
+    enc = Encoder(d_model=4, strides=(2, 5, 5, 6), d_latent=64, causal=True, lstm=1)
+    qt = FAquantizer(in_dim=64, n_p_codebooks=1, n_c_codebooks=2, n_t_codebooks=2,
+                     n_r_codebooks=3, codebook_size=32, codebook_dim=4,
+                     quantizer_dropout=0.5, causal=True,
+                     separate_prosody_encoder=True, timbre_norm=True,
+                     style_hidden_dim=32, prosody_hidden_dim=16)
+    dec = Decoder(input_channel=64, channels=32, rates=(6, 5, 5, 2), causal=True, lstm=1)
+    params = init_params(dict(encoder=enc, quantizer=qt, decoder=dec),
+                         jax.random.PRNGKey(0), seg_frames=12)
+
+    HOP, n_chunks = 300, 48 // chunk
+    wave = jnp.asarray(
+        np.random.default_rng(11).standard_normal((1, n_chunks * chunk * HOP)) * 0.2,
+        jnp.float32,
+    )
+    timbre = jnp.zeros((1, 64))
+    sess = StreamingFACodec(enc, qt, dec, params, chunk_frames=chunk, n_c=1)
+
+    # separate-call loop
+    est, dst = sess.init_encode_state(1), sess.init_decode_state(1)
+    waves_sep, codes_sep = [], []
+    for i in range(0, wave.shape[1], chunk * HOP):
+        est, outs, codes = sess.encode_chunk(est, wave[:, i : i + chunk * HOP], timbre)
+        dst, w = sess.decode_chunk(dst, outs)
+        if outs is not None:
+            waves_sep.append(w)
+            codes_sep.append(codes)
+
+    # fused loop
+    est, dst = sess.init_encode_state(1), sess.init_decode_state(1)
+    waves_f, codes_f = [], []
+    for i in range(0, wave.shape[1], chunk * HOP):
+        est, dst, w, codes = sess.roundtrip_chunk(
+            est, dst, wave[:, i : i + chunk * HOP], timbre)
+        if w is not None:
+            waves_f.append(w)
+            codes_f.append(codes)
+
+    assert len(waves_f) == len(waves_sep)
+    for cs, cf in zip(codes_sep, codes_f):
+        for j in range(3):
+            np.testing.assert_array_equal(np.asarray(cs[j]), np.asarray(cf[j]))
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(waves_f, 1)),
+        np.asarray(jnp.concatenate(waves_sep, 1)), rtol=1e-5, atol=1e-5,
+    )
+
+
 @pytest.mark.parametrize("chunk,n_chunks", [(12, 3), (6, 5)])
 def test_run_scan_matches_chunk_loop(chunk, n_chunks):
     """lax.scan whole-stream mode == the interactive chunk loop (incl. the
