@@ -9,12 +9,14 @@ vs_baseline is relative to the driver target of 200x real time per chip
 (BASELINE.md; the reference publishes no numbers of its own).
 
 Extras carried in the same JSON object:
-  precision        matmul/conv policy (default "hybrid": f32 encode —
-                   codes bit-exact with the f32 path by construction — and
-                   bf16 decode. MEASURED at batch 16 after the snake/conv
-                   fixes: 415.0x f32, 447.9x hybrid, 458.5x full-bf16;
-                   before those fixes the model was transcendental-bound
-                   and the cast traffic made bf16 a LOSS, 305.8x f32 vs
+  precision        matmul/conv policy (default "hybrid_int8" since round 4:
+                   f32 encode — codes bit-exact with the f32 path by
+                   construction — and selective W8A8 dynamic-int8 decode,
+                   which beat "hybrid" on every measured run, 494.3-494.7x
+                   vs 490.2-490.7x. Earlier history at batch 16: 415.0x
+                   f32, 447.9x hybrid, 458.5x full-bf16 after the
+                   snake/conv fixes; before those the model was
+                   transcendental-bound and bf16 was a LOSS, 305.8x f32 vs
                    276.9x bf16. FACODEC_BENCH_PRECISION overrides)
   codes_match_f32_frac  fraction of codes identical to the f32 path at
                    flagship scale: 1.0 for "hybrid" (f32 encode by
@@ -186,7 +188,14 @@ def _codes_match(models, params, prec, seconds=2.0):
 
 
 def main(batch: int = 16, seconds: float = 10.0):
-    prec = os.environ.get("FACODEC_BENCH_PRECISION", "hybrid")
+    # Headline policy decision (round 4): "hybrid_int8" — f32 encode keeps
+    # the discrete codes bit-exact with the f32 path BY CONSTRUCTION (the
+    # codec's contractual output), and the selective W8A8 decode (fan-in >=
+    # 4096 convs on the 2x-peak int8 MXU) measured faster than "hybrid" on
+    # every run: 494.4 / 494.6 / 494.7 / 494.3x vs 490.2-490.7x across
+    # rounds 3-4. Quality-parity gates (cli/validate.py, golden capsule)
+    # still run "hybrid"/f32; rtf_hybrid is reported in extras every run.
+    prec = os.environ.get("FACODEC_BENCH_PRECISION", "hybrid_int8")
     skip_extras = os.environ.get("FACODEC_BENCH_FAST", "") == "1"
 
     models, params = _build_models()
