@@ -14,6 +14,7 @@ see facodec_tpu/models/streaming.py.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -23,6 +24,15 @@ import jax.numpy as jnp
 from facodec_tpu.ops.precision import cast_operands, matmul
 
 LSTMState = Tuple[jnp.ndarray, jnp.ndarray]  # (h, c) each (num_layers, B, H)
+
+
+def _scan_unroll() -> int:
+    """Scan unroll factor (trace-time). Besides amortizing while-loop
+    overhead, unroll sets the w_hh HBM reuse window: XLA reloads the
+    recurrent weight once per unrolled group, so at batch 1 (where the
+    18.9 MB decoder w_hh dominates) traffic scales as |w_hh|/unroll.
+    Batch-16 measurements showed no effect (compute-bound there)."""
+    return int(os.environ.get("FACODEC_LSTM_UNROLL", "8"))
 
 
 def _torch_lstm_init(hidden_size: int):
@@ -69,9 +79,9 @@ def lstm_layer(
         return (h_new, c_new), h_new
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) scan over time
-    # unroll amortizes per-step loop overhead; the recurrence itself is the
-    # serial floor (measured ~25% of decoder time at T=800 without it)
-    (hT, cT), ys = jax.lax.scan(step, (h0, c0), xs, unroll=8)
+    # unroll amortizes per-step loop overhead and widens the w_hh HBM reuse
+    # window (see _scan_unroll); the recurrence itself is the serial floor
+    (hT, cT), ys = jax.lax.scan(step, (h0, c0), xs, unroll=_scan_unroll())
     return jnp.swapaxes(ys, 0, 1), hT, cT
 
 
@@ -136,7 +146,7 @@ def lstm_2layer_pipelined(
     if T > 1:
         xs = jnp.swapaxes(xp1[:, 1:], 0, 1)  # (T-1, B, 4H)
         (h1, c1, h2, c2, y1_prev), ys = jax.lax.scan(
-            step, (h1, c1, h2, c2, y1_prev), xs, unroll=8
+            step, (h1, c1, h2, c2, y1_prev), xs, unroll=_scan_unroll()
         )
         ys = jnp.swapaxes(ys, 0, 1)  # (B, T-1, H) = y2[0 .. T-2]
     else:
