@@ -211,6 +211,8 @@ def main(batch: int = 16, seconds: float = 10.0):
         "batch": batch,
         "seconds": seconds,
     }
+    if os.environ.get("FACODEC_BENCH_DEGRADED") == "1":
+        result["degraded"] = "extras skipped: full-bench child timed out"
 
     if not skip_extras:
         flops = _flops_per_iter(models, params, batch, seconds, prec)
@@ -245,6 +247,43 @@ def main(batch: int = 16, seconds: float = 10.0):
     print(json.dumps(result))
 
 
-if __name__ == "__main__":
+def _run_with_watchdog() -> None:
+    """Driver-facing entry: run the full bench in a child process under a
+    wall-clock cap, echo its ONE json line; on timeout (e.g. the tunnel's
+    remote-compile service is wedged — observed round 4 — while previously
+    compiled modules still execute from the persistent cache), fall back to
+    an in-process FAST run whose modules are all cache-resident, so the
+    driver still gets a headline number."""
+    import subprocess
+    import sys
+
+    cap = float(os.environ.get("FACODEC_BENCH_TIMEOUT_S", "1500"))
+    env = dict(os.environ, FACODEC_BENCH_INPROC="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            timeout=cap, capture_output=True, text=True, env=env,
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        sys.stderr.write(out.stderr[-2000:] + "\n")
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(
+            f"bench child exceeded {cap:.0f}s (wedged compile tunnel?); "
+            "falling back to cached headline-only run\n"
+        )
+    os.environ["FACODEC_BENCH_FAST"] = "1"
+    os.environ["FACODEC_BENCH_DEGRADED"] = "1"
     _cache()
     main()
+
+
+if __name__ == "__main__":
+    if (os.environ.get("FACODEC_BENCH_INPROC") == "1"
+            or os.environ.get("FACODEC_BENCH_FAST") == "1"):
+        _cache()
+        main()
+    else:
+        _run_with_watchdog()
