@@ -106,6 +106,29 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
     dev_ms = min(ts) / M * 1e3
     dev_ms_2call = min(ts2) / M * 1e3
 
+    # true per-chunk DEVICE op time via a profiler trace: the chained
+    # measurements above are dispatch-throughput through this env's tunnel
+    # (per-call host->device send, 1-3 ms jitter); the trace sums only the
+    # device's "XLA Ops" lane, which is what an attached TPU would cost
+    # (round-4 finding: ~1.1 ms/chunk vs 3.8-6.9 ms chained).
+    dev_op_ms = None
+    try:
+        import tempfile
+
+        from facodec_tpu.utils.profiling import aggregate_device_trace, trace
+
+        logdir = tempfile.mkdtemp(prefix="facodec_stream_trace_")
+        e2, d2 = est, dst
+        with trace(logdir):
+            for c in chunks:
+                e2, d2, w, _ = sess.roundtrip_chunk(e2, d2, c, timbre)
+            float(w[0, -1])
+        _, _, total_ms = aggregate_device_trace(logdir, printout=False)
+        if total_ms > 0:
+            dev_op_ms = total_ms / M
+    except Exception:
+        pass
+
     # end-to-end latency a listener experiences in steady state: buffer one
     # chunk (chunk_ms) + 1 frame algorithmic mel lookahead + compute (p50,
     # which on this env includes the ~32 ms tunnel RTT; ~0 when attached)
@@ -118,6 +141,7 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
         "p99_ms": round(p99, 2),
         "device_only_ms": round(dev_ms, 2),
         "device_only_2call_ms": round(dev_ms_2call, 2),
+        "device_op_ms": round(dev_op_ms, 2) if dev_op_ms else None,
         "e2e_latency_ms": round(e2e, 2),
         "prime_ms": round(sess.prime_frames * HOP / SR * 1e3, 1),
         "rtf_interactive": round(chunk_ms / p50, 2),
