@@ -10,7 +10,15 @@ but not bit-comparable to torch CPU float32.
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # Tests are a CORRECTNESS gate, not a benchmark: backend opt level 0
+    # skips most LLVM midend work, roughly halving CPU compile time
+    # (measured on the dryrun_multichip GAN step: 92 s vs ~180 s), and the
+    # suite is compile-dominated on this 1-core host. Golden tolerances are
+    # unaffected: opt level changes scheduling/fusion, not math width, and
+    # matmul precision stays pinned to 'highest' below.
+    + " --xla_backend_optimization_level=0"
 )
 
 import jax  # noqa: E402
