@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from facodec_tpu.ops.precision import cast_operands, matmul
+from facodec_tpu.ops.precision import cast_operands, matmul, quantize_dynamic
 
 LSTMState = Tuple[jnp.ndarray, jnp.ndarray]  # (h, c) each (num_layers, B, H)
 
@@ -33,6 +33,28 @@ def _scan_unroll() -> int:
     18.9 MB decoder w_hh dominates) traffic scales as |w_hh|/unroll.
     Batch-16 measurements showed no effect (compute-bound there)."""
     return int(os.environ.get("FACODEC_LSTM_UNROLL", "8"))
+
+
+def _lstm_int8(hidden: int) -> bool:
+    """Whether this layer's recurrent matmul runs W8A8 int8 (trace-time).
+
+    Opt-in via FACODEC_LSTM_INT8=1, and only for layers whose w_hh does NOT
+    fit VMEM in bf16: the decoder's 1536-wide w_hh (4H x H = 18.9 MB bf16)
+    overflows the 16 MB VMEM scoped stack and streams from HBM every scan
+    step — the measured batch-1 bottleneck (~5.4 ms/layer at 800 steps;
+    CLAUDE.md round 4). int8 halves that weight traffic (9.4 MB) and may fit
+    residency like the encoder's 8.4 MB bf16 w_hh (~2.5 us/step) does.
+    Layers that already fit (encoder, 1024-wide: 8.4 MB) keep the bf16 path —
+    quantization would only add per-step VPU work there.
+
+    INFERENCE-ONLY (round() has zero gradient); training entry points never
+    set the flag. Streaming-safe: the activation scale is per STEP (each
+    step's h only), so chunked == one-shot is preserved, unlike the pooled
+    per-tensor conv activation scales under the "int8" policy."""
+    if os.environ.get("FACODEC_LSTM_INT8", "0") != "1":
+        return False
+    min_bytes = int(os.environ.get("FACODEC_LSTM_INT8_MIN_BYTES", str(12 << 20)))
+    return 4 * hidden * hidden * 2 >= min_bytes
 
 
 def _torch_lstm_init(hidden_size: int):
@@ -63,19 +85,31 @@ def lstm_layer(
     h0 = h0.astype(jnp.float32)
     c0 = c0.astype(jnp.float32)
     x_proj = matmul(x, w_ih.T) + (b_ih + b_hh)  # (B, T, 4H)
-    w_hh_t = cast_operands(w_hh.T)  # (H, 4H), cast once outside the scan
     hidden = w_hh.shape[1]
+
+    if _lstm_int8(hidden):
+        # W8A8 recurrent matmul: w_hh per-output-column int8 (quantized once,
+        # outside the scan), h per-step per-row — both scalings commute
+        # exactly with the contraction, so the only error vs bf16 is the
+        # +-0.5 ulp rounding of each operand. See _lstm_int8 for when/why.
+        w_q, w_scale = quantize_dynamic(w_hh.T, axes=0)  # (H,4H) i8, (1,4H)
+
+        def rec_gates(h):
+            h_q, s_h = quantize_dynamic(h, axes=-1)  # (B,H) i8, (B,1)
+            i32 = jax.lax.dot_general(
+                h_q, w_q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return i32.astype(jnp.float32) * (s_h * w_scale)
+    else:
+        w_hh_t = cast_operands(w_hh.T)  # (H, 4H), cast once outside the scan
+
+        def rec_gates(h):
+            return matmul(h, w_hh_t)
 
     def step(carry, xp_t):
         h, c = carry
-        gates = xp_t + matmul(h, w_hh_t)  # (B, 4H)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c_new = f * c + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new = _lstm_cell(xp_t + rec_gates(h), c)
         return (h_new, c_new), h_new
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) scan over time
