@@ -50,8 +50,22 @@ def _lstm_int8(hidden: int) -> bool:
     INFERENCE-ONLY (round() has zero gradient); training entry points never
     set the flag. Streaming-safe: the activation scale is per STEP (each
     step's h only), so chunked == one-shot is preserved, unlike the pooled
-    per-tensor conv activation scales under the "int8" policy."""
+    per-tensor conv activation scales under the "int8" policy.
+
+    Also requires a non-float32 active precision policy: parity/validate
+    gates trace under policy("float32") and must stay exact even if the env
+    flag leaks in process-wide (advisor round 4). Under float32, the flag is
+    a no-op.
+
+    Takes precedence over FACODEC_LSTM_PIPELINED for qualifying widths: the
+    pipelined 2-layer wavefront has no int8 recurrent path, so LSTM.__call__
+    falls back to stacked layers when this returns True (otherwise a
+    combined-flags bench would silently measure bf16)."""
     if os.environ.get("FACODEC_LSTM_INT8", "0") != "1":
+        return False
+    from facodec_tpu.ops.precision import get_policy
+
+    if get_policy() == "float32":
         return False
     min_bytes = int(os.environ.get("FACODEC_LSTM_INT8_MIN_BYTES", str(12 << 20)))
     return 4 * hidden * hidden * 2 >= min_bytes
@@ -223,7 +237,11 @@ class LSTM(nn.Module):
 
         from facodec_tpu.ops.fused import pipelined_lstm_enabled
 
-        if self.num_layers == 2 and pipelined_lstm_enabled():
+        # the wavefront path has no int8 recurrent matmul — when the int8
+        # flag qualifies for this width, the stacked path wins precedence
+        # (advisor round 4: a combined-flags run would otherwise silently
+        # ignore FACODEC_LSTM_INT8 for exactly the decoder SLSTM it targets)
+        if self.num_layers == 2 and pipelined_lstm_enabled() and not _lstm_int8(H):
             y, hT, cT = lstm_2layer_pipelined(x, layer_params, h0, c0)
             return y, (hT, cT)
 

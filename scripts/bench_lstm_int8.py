@@ -32,12 +32,16 @@ def main(seconds: float = 10.0, batch: float = 1):
     batch = int(batch)
     models, params = bench._build_models()
     out = {"metric": "lstm_int8_rtf_ab", "seconds": seconds, "batch": batch}
+    prior = os.environ.get("FACODEC_LSTM_INT8")  # restore, don't clobber
     for tag, on in (("bf16", "0"), ("int8", "1")):
         os.environ["FACODEC_LSTM_INT8"] = on  # trace-time; each _timed_rtf jits fresh
         try:
             rtf, dt = bench._timed_rtf(models, params, batch, seconds, "hybrid")
         finally:
-            os.environ["FACODEC_LSTM_INT8"] = "0"
+            if prior is None:
+                os.environ.pop("FACODEC_LSTM_INT8", None)
+            else:
+                os.environ["FACODEC_LSTM_INT8"] = prior
         out[f"rtf_{tag}"] = round(rtf, 2)
         out[f"ms_{tag}"] = round(dt * 1e3, 2)
         print(f"lstm {tag:5s}: {rtf:7.2f}x RT  ({dt*1e3:.2f} ms / {seconds:.0f} s clip)",
