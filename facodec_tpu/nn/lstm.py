@@ -47,6 +47,12 @@ def _lstm_int8(hidden: int) -> bool:
     Layers that already fit (encoder, 1024-wide: 8.4 MB) keep the bf16 path —
     quantization would only add per-step VPU work there.
 
+    MEASURED ON TPU (round 5, scripts/bench_lstm_int8.py): a 2.4% LOSS at
+    batch 1 (204.9/205.5x vs 209.9/210.5x bf16, reproducible) — the per-step
+    dequant + h-quantization VPU work on the scan's critical path outweighs
+    the halved weight traffic at (1,1536)x(1536,6144). Kept as an opt-in
+    experiment flag only; never a default.
+
     INFERENCE-ONLY (round() has zero gradient); training entry points never
     set the flag. Streaming-safe: the activation scale is per STEP (each
     step's h only), so chunked == one-shot is preserved, unlike the pooled
