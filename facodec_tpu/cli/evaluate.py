@@ -49,10 +49,11 @@ def evaluate_utterance(codec, wave: np.ndarray, probe_disentangle: bool = True):
     stft_l1 = float(multi_scale_stft_loss(x, y))
     noise = np.mean((recon - ref) ** 2) + 1e-12
     snr = 10.0 * np.log10(np.mean(ref**2) / noise + 1e-12)
+    cbs = float(getattr(codec.models["quantizer"], "codebook_size", 1024))
     usage = {
-        "prosody": len(np.unique(f.codes_p)) / 1024.0,
-        "content": len(np.unique(f.codes_c)) / 1024.0,
-        "residual": len(np.unique(f.codes_r)) / 1024.0 if f.codes_r is not None else 0.0,
+        "prosody": len(np.unique(f.codes_p)) / cbs,
+        "content": len(np.unique(f.codes_c)) / cbs,
+        "residual": len(np.unique(f.codes_r)) / cbs if f.codes_r is not None else 0.0,
     }
     out = dict(
         mel_l1=mel_l1, stft_l1=stft_l1, snr_db=float(snr),

@@ -86,6 +86,30 @@ def test_f0_autocorr_tracks_pitch():
     assert np.all(f0_autocorr(np.zeros(SR), SR) == 0)
 
 
+def test_f0_autocorr_tracks_glide():
+    """Pitch glide 120->300 Hz over 2 s: the tracked contour must follow the
+    instantaneous frequency frame by frame (the disentanglement probes in
+    cli/evaluate correlate CONTOURS, not medians — a tracker that locks to
+    one pitch would pass the constant-pitch test yet break them)."""
+    secs = 2.0
+    t = np.arange(int(secs * SR)) / SR
+    inst = 120.0 * (300.0 / 120.0) ** (t / secs)  # exponential glide
+    phase = 2 * np.pi * np.cumsum(inst) / SR
+    f0 = f0_autocorr(0.5 * np.sin(phase), SR)
+    # frame centers: frame i covers samples [i*300, i*300 + 1200)
+    centers = (np.arange(len(f0)) * 300 + 600).clip(0, len(t) - 1)
+    expect = inst[centers]
+    voiced = f0 > 0
+    assert voiced.mean() > 0.9
+    rel = np.abs(f0[voiced] - expect[voiced]) / expect[voiced]
+    assert np.median(rel) < 0.04, np.median(rel)
+    # and the contour correlates with itself, anti-correlates with reverse
+    r_fwd, _ = f0_correlation(f0, expect * voiced)
+    r_rev, _ = f0_correlation(f0, (expect * voiced)[::-1])
+    assert r_fwd > 0.95, r_fwd
+    assert r_rev < -0.5, r_rev
+
+
 def test_f0_correlation():
     ref = speechy(f0=140.0)
     f0a = f0_autocorr(ref, SR)
