@@ -206,11 +206,22 @@ class StreamingFACodec:
             wave, dst = decode_step(params, outs, dst, first)
             return wave, codes, est, dst
 
+        # Steady-state steps DONATE their stream-state argument: the session
+        # API threads state linearly (each call consumes the previous call's
+        # state), so the input buffers are dead after the call and XLA may
+        # alias the updated carries (conv left-context, LSTM (h,c), wave
+        # tail, latent ring buffer) in place instead of materializing copies
+        # — these copy/slice ops were ~25% of the in-chunk device time in
+        # the round-4 trace. First-call variants keep their state alive
+        # (init states may be shared across sessions, e.g. A/B tests).
+        # Backends without donation support (CPU) ignore it with a warning.
         self._encode_first = jax.jit(lambda p, w, t, s: encode_step(p, w, t, s, True))
-        self._encode = jax.jit(lambda p, w, t, s: encode_step(p, w, t, s, False))
+        self._encode = jax.jit(lambda p, w, t, s: encode_step(p, w, t, s, False),
+                               donate_argnums=(3,))
         self._flush = jax.jit(flush_step)
         self._decode_first = jax.jit(lambda p, o, s: decode_step(p, o, s, True))
-        self._decode = jax.jit(lambda p, o, s: decode_step(p, o, s, False))
+        self._decode = jax.jit(lambda p, o, s: decode_step(p, o, s, False),
+                               donate_argnums=(2,))
         # fused encode+decode: ONE device call per chunk. Per-call dispatch
         # dominates the steady-state chunk budget on remote/tunneled devices
         # (round-4 trace: 1.08 ms of device ops vs 3.89 ms measured with two
@@ -218,7 +229,8 @@ class StreamingFACodec:
         self._roundtrip_first = jax.jit(
             lambda p, w, t, e, d: roundtrip_step(p, w, t, e, d, True))
         self._roundtrip = jax.jit(
-            lambda p, w, t, e, d: roundtrip_step(p, w, t, e, d, False))
+            lambda p, w, t, e, d: roundtrip_step(p, w, t, e, d, False),
+            donate_argnums=(3, 4))
         # unjitted steady-state closures for lax.scan composition (run_scan)
         self._encode_steady_raw = lambda p, w, t, s: encode_step(p, w, t, s, False)
         self._decode_steady_raw = lambda p, o, s: decode_step(p, o, s, False)
