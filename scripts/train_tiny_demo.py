@@ -1,16 +1,23 @@
-"""Demonstrate that the training stack LEARNS (VERDICT r3 #6).
+"""Demonstrate that the training stack LEARNS (VERDICT r3 #6, r4 #3).
 
 Runs the real codec GAN loop (train/loop.py run_training — the reference
-train.py:171-487 semantics) for a few hundred steps on a tiny-width config
-over a small deterministic speech-like synthetic set, then writes
-`examples/tiny_train_curve.json`: the logged mel-loss curve plus a
-before/after reconstruction mel-L1 on a held-out utterance. The artifact
-replaces the random-weights caveat in examples/scorecard.json with trained
-provenance at demo scale.
+train.py:171-487 semantics) over a deterministic speech-like synthetic set,
+then writes the logged mel-loss curve plus a before/after reconstruction
+mel-L1 on a held-out utterance.
 
-    python scripts/train_tiny_demo.py [--steps 400] [--out examples/tiny_train_curve.json]
+Two sizes:
+  --size tiny    (default) a few hundred steps at tests/tiny_config.yml
+                 widths — CPU-friendly smoke of the learning dynamics;
+                 artifact examples/tiny_train_curve.json.
+  --size medium  a few thousand steps at medium widths (latent 256,
+                 codebook 256, decoder_dim 512, 2-layer LSTMs) on the
+                 attached TPU — the bounded quality run behind the trained
+                 examples/scorecard.json (run scripts/make_scorecard.py
+                 with the printed ckpt/config afterwards); artifact
+                 examples/medium_train_curve.json.
 
-CPU-friendly: tiny widths (tests/tiny_config.yml scale), ~1 s segments.
+    python scripts/train_tiny_demo.py [--size medium --steps 5000
+        --platform default] [--out examples/..._train_curve.json]
 """
 
 from __future__ import annotations
@@ -31,12 +38,12 @@ SR, HOP = 24000, 300
 CFG_TEXT = """
 log_dir: "{log_dir}"
 seed: 0
-save_freq: 1000
+save_freq: 1000000
 log_interval: 5
-save_interval: 100000
+save_interval: {save_interval}
 epochs: 100000
-batch_size: 4
-max_len: 40
+batch_size: {batch_size}
+max_len: {max_len}
 split_step: true
 
 preprocess_params:
@@ -45,7 +52,7 @@ preprocess_params:
 
 model_params:
   causal: True
-  lstm: 1
+  lstm: {lstm}
   norm_f0: True
   use_gr_content_f0: False
   use_gr_prosody_phone: False
@@ -54,22 +61,43 @@ model_params:
   n_c_codebooks: 2
   timbre_norm: True
   use_gr_content_global_f0: True
-  latent_dim: 64
-  codebook_size: 32
-  style_hidden_dim: 32
-  prosody_hidden_dim: 16
-  n_phone_classes: 8
-  n_speakers: 4
+  latent_dim: {latent_dim}
+  codebook_size: {codebook_size}
+  style_hidden_dim: {style_hidden_dim}
+  prosody_hidden_dim: {prosody_hidden_dim}
+  n_phone_classes: {n_phones}
+  n_speakers: {n_speakers}
   DAC:
-    encoder_dim: 4
+    encoder_dim: {encoder_dim}
     encoder_rates: [2, 5, 5, 6]
-    decoder_dim: 32
+    decoder_dim: {decoder_dim}
     decoder_rates: [6, 5, 5, 2]
     sr: 24000
 
 loss_params:
-  base_lr: 0.0005
+  base_lr: {base_lr}
+  discriminator_iter_start: {disc_start}
 """
+
+# --size presets. tiny keeps the original round-3 recipe (CPU smoke);
+# medium is the bounded TPU quality run (reference flagship is latent 1024 /
+# codebook 1024 / decoder_dim 1536 — medium sits at 1/4 width with the same
+# topology: 4-stage strided DAC at hop 300, 2-layer LSTMs, all loss heads).
+SIZES = {
+    "tiny": dict(
+        batch_size=4, max_len=40, lstm=1, latent_dim=64, codebook_size=32,
+        style_hidden_dim=32, prosody_hidden_dim=16, n_phones=8, n_speakers=4,
+        encoder_dim=4, decoder_dim=32, base_lr=0.0005, disc_start=2000,
+        save_interval=100000, steps=400, data_n=8, data_seconds=1.6,
+    ),
+    "medium": dict(
+        batch_size=8, max_len=80, lstm=2, latent_dim=256, codebook_size=256,
+        style_hidden_dim=256, prosody_hidden_dim=128, n_phones=16,
+        n_speakers=16, encoder_dim=32, decoder_dim=512, base_lr=0.0001,
+        disc_start=1000, save_interval=1000, steps=5000, data_n=128,
+        data_seconds=2.0,
+    ),
+}
 
 
 class SyntheticSpeechDataset:
@@ -78,27 +106,57 @@ class SyntheticSpeechDataset:
     tracking the amplitude-envelope phase — real structure for every loss
     head (mel, F0, phones, speaker), unlike PseudoDataset's noise."""
 
-    def __init__(self, n: int = 8, seconds: float = 1.6):
+    def __init__(self, n: int = 8, seconds: float = 1.6,
+                 n_speakers: int = 4, n_phones: int = 8, rich: bool = False):
         from facodec_tpu.train.data import MelConfig, compute_mel
 
         self.items = []
+        t = np.arange(int(seconds * SR) // HOP * HOP) / SR
         for i in range(n):
-            f0_base = 110.0 * (1.3 ** (i % 4))
-            t = np.arange(int(seconds * SR) // HOP * HOP) / SR
-            vib = f0_base * (1 + 0.06 * np.sin(2 * np.pi * (2.5 + 0.3 * i) * t))
-            phase = 2 * np.pi * np.cumsum(vib) / SR
-            tilt = 0.5 + 0.5 * (i % 4) / 3.0
-            x = sum(np.sin(k * phase) * tilt ** (k - 1) / k for k in range(1, 6))
-            env = 0.55 + 0.45 * np.sin(2 * np.pi * (1.3 + 0.2 * i) * t) ** 2
-            x = (0.4 * x * env / np.abs(x * env).max()).astype(np.float32)
+            if rich:
+                # medium set: per-utterance deterministic variety (item i is
+                # identical regardless of n, so "build n+1, hold out the
+                # last" yields a true holdout). Log-spaced speaker F0s
+                # 100-340 Hz with speaker-tied spectral tilt; randomized
+                # vibrato/envelope rates and harmonic phases; -40 dB breath
+                # noise so the decoder must learn more than pure lines.
+                urng = np.random.default_rng(1000 + i)
+                spk = i % n_speakers
+                rel = spk / max(n_speakers - 1, 1)
+                f0_base = 100.0 * (340.0 / 100.0) ** rel
+                vib_rate = 2.0 + 4.0 * urng.uniform()
+                vib_depth = 0.03 + 0.05 * urng.uniform()
+                env_rate = 1.0 + 2.0 * urng.uniform()
+                tilt = 0.35 + 0.6 * rel
+                vib = f0_base * (1 + vib_depth
+                                 * np.sin(2 * np.pi * vib_rate * t))
+                phase = 2 * np.pi * np.cumsum(vib) / SR
+                phis = urng.uniform(0, 2 * np.pi, 6)
+                x = sum(np.sin(k * phase + phis[k - 1]) * tilt ** (k - 1) / k
+                        for k in range(1, 7))
+                env = 0.55 + 0.45 * np.sin(
+                    2 * np.pi * env_rate * t + urng.uniform(0, np.pi)) ** 2
+                x = x * env + 0.01 * urng.standard_normal(len(t))
+            else:
+                f0_base = 110.0 * (1.3 ** (i % 4))
+                spk = i % 4
+                vib = f0_base * (1 + 0.06 * np.sin(2 * np.pi * (2.5 + 0.3 * i) * t))
+                phase = 2 * np.pi * np.cumsum(vib) / SR
+                tilt = 0.5 + 0.5 * (i % 4) / 3.0
+                x = sum(np.sin(k * phase) * tilt ** (k - 1) / k for k in range(1, 6))
+                env = 0.55 + 0.45 * np.sin(2 * np.pi * (1.3 + 0.2 * i) * t) ** 2
+                x = x * env
+            x = (0.4 * x / np.abs(x).max()).astype(np.float32)
             frames = len(x) // HOP
             fidx = np.minimum(np.arange(frames) * HOP, len(t) - 1)
+            env01 = (env - 0.55) / 0.45  # envelope phase in [0, 1]
             self.items.append(dict(
                 wave=x,
                 mel=compute_mel(x, MelConfig()),
                 f0=vib[fidx].astype(np.float32),
-                phone_ids=(np.floor(env[fidx] * 7.99)).astype(np.int32),
-                spk_label=np.int32(i % 4),
+                phone_ids=(np.floor(env01[fidx] * (n_phones - 0.01))
+                           ).astype(np.int32),
+                spk_label=np.int32(spk),
             ))
 
     def __len__(self):
@@ -136,14 +194,26 @@ def _mel_l1(a: np.ndarray, b: np.ndarray) -> float:
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--out", default=os.path.join(REPO, "examples",
-                                                  "tiny_train_curve.json"))
-    ap.add_argument("--workdir", default="/tmp/facodec_tiny_train_demo")
+    ap.add_argument("--size", default="tiny", choices=sorted(SIZES))
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default: the size preset (tiny 400, medium 5000)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--workdir", default=None)
     ap.add_argument("--platform", default="cpu", choices=["cpu", "default"],
                     help="'default' uses the attached TPU when present "
                          "(minutes instead of hours on the 1-core CPU host)")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep the workdir; run_training resumes from its "
+                         "latest checkpoint")
     args = ap.parse_args(argv)
+    size = SIZES[args.size]
+    if args.steps is None:
+        args.steps = size["steps"]
+    if args.out is None:
+        args.out = os.path.join(REPO, "examples",
+                                f"{args.size}_train_curve.json")
+    if args.workdir is None:
+        args.workdir = f"/tmp/facodec_{args.size}_train_demo"
 
     if args.platform == "cpu":
         # correctness/learning artifact, not a benchmark: opt-level 0 halves
@@ -164,30 +234,41 @@ def main(argv=None):
 
     import shutil
 
-    shutil.rmtree(args.workdir, ignore_errors=True)
+    if not args.resume:
+        shutil.rmtree(args.workdir, ignore_errors=True)
     os.makedirs(args.workdir, exist_ok=True)
     cfg_path = os.path.join(args.workdir, "config.yml")
     with open(cfg_path, "w") as f:
-        f.write(CFG_TEXT.format(log_dir=args.workdir))
+        f.write(CFG_TEXT.format(log_dir=args.workdir, **size))
 
     from facodec_tpu.models.builder import build_model, init_params
     from facodec_tpu.train.loop import run_training
     from facodec_tpu.utils.config import load_config
 
-    dataset = SyntheticSpeechDataset()
-    holdout = SyntheticSpeechDataset(n=9).items[-1]["wave"]  # not in train set
+    data_kw = dict(n=size["data_n"], seconds=size["data_seconds"],
+                   n_speakers=size["n_speakers"], n_phones=size["n_phones"],
+                   rich=args.size != "tiny")
+    dataset = SyntheticSpeechDataset(**data_kw)
+    # items are per-index deterministic: building n+1 and taking the last
+    # yields an utterance not in the train set
+    holdout = SyntheticSpeechDataset(**{**data_kw, "n": size["data_n"] + 1}
+                                     ).items[-1]["wave"]
 
     cfg = load_config(cfg_path)
     models = build_model(cfg.model_params, stage="codec")
 
-    def reconstruct(params, wave):
-        import jax.numpy as jnp
+    import jax.numpy as jnp
 
-        enc, qt, dec = (models[k] for k in ("encoder", "quantizer", "decoder"))
-        w = jnp.asarray(wave[None])
+    enc, qt, dec = (models[k] for k in ("encoder", "quantizer", "decoder"))
+
+    @jax.jit
+    def _roundtrip(params, w):
         z = enc.apply({"params": params["encoder"]}, w[:, :, None])
         outs, *_ = qt.apply({"params": params["quantizer"]}, z, w, n_c=2)
-        return np.asarray(dec.apply({"params": params["decoder"]}, outs)[:, :, 0])[0]
+        return dec.apply({"params": params["decoder"]}, outs)[:, :, 0]
+
+    def reconstruct(params, wave):
+        return np.asarray(_roundtrip(params, jnp.asarray(wave[None])))[0]
 
     params0 = init_params(models, jax.random.PRNGKey(cfg.get("seed", 0)))
     before = _mel_l1(holdout, reconstruct(params0, holdout))
@@ -203,14 +284,21 @@ def main(argv=None):
     mel_curve = writer.scalars.get("train/loss/mel", [])
     head = np.mean([v for _, v in mel_curve[:5]]) if mel_curve else None
     tail = np.mean([v for _, v in mel_curve[-5:]]) if mel_curve else None
+    from facodec_tpu.train.loop import latest_checkpoint
+
+    ckpt = latest_checkpoint(args.workdir)
     out = {
         "provenance": {
             "what": "real codec GAN loop (train/loop.py) on deterministic "
-                    "synthetic speech-like set; tiny widths "
-                    "(tests/tiny_config.yml scale)",
+                    f"synthetic speech-like set; size={args.size} "
+                    f"(latent {size['latent_dim']}, codebook "
+                    f"{size['codebook_size']}, decoder_dim "
+                    f"{size['decoder_dim']}, {size['data_n']} utterances x "
+                    f"{size['data_seconds']} s, {size['n_speakers']} speakers)",
             "steps": args.steps,
             "wall_seconds": round(wall, 1),
             "weights": "TRAINED from seed-0 init by this script",
+            "platform": jax.devices()[0].platform,
         },
         "train_mel_loss_curve": [
             {"step": s, "value": round(v, 4)} for s, v in mel_curve
@@ -225,6 +313,12 @@ def main(argv=None):
             if tag.startswith("train/loss/")
         },
     }
+    if ckpt:
+        out["provenance"]["checkpoint"] = os.path.basename(ckpt)
+    # thin the curve for the checked-in artifact (medium logs ~1000 points)
+    if len(out["train_mel_loss_curve"]) > 200:
+        c = out["train_mel_loss_curve"]
+        out["train_mel_loss_curve"] = c[:: max(1, len(c) // 200)] + [c[-1]]
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
     print(json.dumps({
@@ -233,6 +327,8 @@ def main(argv=None):
         "holdout_before": out["holdout_recon_mel_l1_before"],
         "holdout_after": out["holdout_recon_mel_l1_after"],
         "wall_s": round(wall, 1),
+        "ckpt": ckpt,
+        "config": cfg_path,
     }))
     return 0
 
