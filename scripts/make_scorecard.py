@@ -58,6 +58,10 @@ def main(argv=None):
     ap.add_argument("--ckpt-path", default=None)
     ap.add_argument("--config-path", default=None)
     ap.add_argument("--workdir", default="/tmp/facodec_scorecard")
+    ap.add_argument("--provenance-json", default=None,
+                    help="path to a JSON file (e.g. a *_train_curve.json) "
+                         "whose 'provenance' object is embedded in the "
+                         "scorecard's provenance as 'training'")
     args = ap.parse_args(argv)
 
     try:
@@ -79,11 +83,18 @@ def main(argv=None):
         return rc
     data = json.load(open(tmp_json))
     data["provenance"] = {
-        "weights": args.ckpt_path or "random (seed 0) — infra record, not a "
-                                     "quality claim; becomes a quality record "
-                                     "once a trained checkpoint is passed",
+        "weights": (
+            f"TRAINED checkpoint {os.path.basename(args.ckpt_path)}"
+            if args.ckpt_path
+            else "random (seed 0) — infra record, not a quality claim; "
+                 "becomes a quality record once a trained checkpoint is "
+                 "passed"
+        ),
         "manifest": "deterministic synthetic set (this script)",
     }
+    if args.provenance_json:
+        data["provenance"]["training"] = json.load(
+            open(args.provenance_json)).get("provenance")
     # strip machine-local paths for a stable checked-in artifact
     for u in data["utterances"]:
         u["path"] = os.path.basename(u["path"])

