@@ -87,17 +87,30 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
         for i in range(M)
     ]
     jax.block_until_ready(chunks)
+
+    def fork():
+        """Fresh state buffers: the steady-state steps DONATE their state
+        args (models/streaming.py), so each timing leg must start from its
+        own copies — reusing `est`/`dst` after a leg consumed them would
+        hit deleted buffers."""
+        from dataclasses import replace as _replace
+
+        e = _replace(est, core=jax.tree.map(jnp.copy, est.core))
+        d = (jax.tree.map(jnp.copy, dst[0]), dst[1])
+        jax.block_until_ready((e.core, d[0]))
+        return e, d
+
     ts, ts2 = [], []
     for _ in range(3):
+        e2, d2 = fork()
         t0 = time.perf_counter()
-        e2, d2 = est, dst
         for c in chunks:
             e2, d2, w, _ = sess.roundtrip_chunk(e2, d2, c, timbre)
         float(w[0, -1])
         ts.append(time.perf_counter() - t0)
         # two-call comparison leg (encode + decode as separate dispatches)
+        e2, d2 = fork()
         t0 = time.perf_counter()
-        e2, d2 = est, dst
         for c in chunks:
             e2, outs, _ = sess.encode_chunk(e2, c, timbre)
             d2, w = sess.decode_chunk(d2, outs)
@@ -118,7 +131,7 @@ def main(chunk_frames: int = 4, seconds: float = 8.0, batch: int = 1):
         from facodec_tpu.utils.profiling import aggregate_device_trace, trace
 
         logdir = tempfile.mkdtemp(prefix="facodec_stream_trace_")
-        e2, d2 = est, dst
+        e2, d2 = fork()
         with trace(logdir):
             for c in chunks:
                 e2, d2, w, _ = sess.roundtrip_chunk(e2, d2, c, timbre)
