@@ -67,9 +67,22 @@ def run_redecoder_training(
     state = TrainState(replicate(mesh, state.params),
                        replicate(mesh, state.opt_states), state.step)
     codec_params = replicate(mesh, codec_params)
-    step_fn = jax.jit(
-        make_redecoder_train_step(codec_models, codec_params, models, optimizers)
-    )
+    if cfg.get("split_step", False):
+        # two XLA modules — the remedy when the fused module trips the
+        # remote compile helper's memory cap (HTTP 500 SIGKILL at medium+
+        # widths; see make_redecoder_train_step_split / CLAUDE.md)
+        from facodec_tpu.train.redecoder_step import (
+            make_redecoder_train_step_split,
+        )
+
+        step_fn = make_redecoder_train_step_split(
+            codec_models, codec_params, models, optimizers,
+            donate=bool(cfg.get("donate_params", True)),
+        )
+    else:
+        step_fn = jax.jit(
+            make_redecoder_train_step(codec_models, codec_params, models, optimizers)
+        )
 
     if dataset is None:
         dataset = PseudoDataset(length=cfg.get("pseudo_dataset_len", 100))

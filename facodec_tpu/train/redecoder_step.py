@@ -33,16 +33,12 @@ REDECODER_GEN_KEYS = ("encoder", "decoder")
 LAMBDA_MEL = 15.0
 
 
-def make_redecoder_train_step(
+def _make_redecoder_parts(
     codec_models: Mapping[str, Any],
     codec_params: Mapping[str, Any],
     models: Mapping[str, Any],
-    optimizers: Mapping[str, Any],
 ):
-    """codec_models/params: frozen 'encoder' + 'quantizer' (stage='encoder');
-    models: 'encoder' (Redecoder), 'decoder', 'discriminator'.
-
-    batch: wave_seg (B, Tw), full_waves (B, Tmax), wave_lens (B,)."""
+    """Shared closures for the fused and split redecoder steps."""
     c_enc, c_qt = codec_models["encoder"], codec_models["quantizer"]
     redecoder, decoder = models["encoder"], models["decoder"]
     discriminator = models["discriminator"]
@@ -86,6 +82,26 @@ def make_redecoder_train_step(
             "loss/wav_l1": wav_l, "loss/adv_g": adv_l, "loss/feature": feat_l,
         }
 
+    return dict(frozen_encode=frozen_encode, gen_forward=gen_forward,
+                disc_loss_fn=disc_loss_fn, gen_loss_fn=gen_loss_fn)
+
+
+def make_redecoder_train_step(
+    codec_models: Mapping[str, Any],
+    codec_params: Mapping[str, Any],
+    models: Mapping[str, Any],
+    optimizers: Mapping[str, Any],
+):
+    """codec_models/params: frozen 'encoder' + 'quantizer' (stage='encoder');
+    models: 'encoder' (Redecoder), 'decoder', 'discriminator'.
+
+    batch: wave_seg (B, Tw), full_waves (B, Tmax), wave_lens (B,)."""
+    parts = _make_redecoder_parts(codec_models, codec_params, models)
+    frozen_encode = parts["frozen_encode"]
+    gen_forward = parts["gen_forward"]
+    disc_loss_fn = parts["disc_loss_fn"]
+    gen_loss_fn = parts["gen_loss_fn"]
+
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         params, opt_states = dict(state.params), dict(state.opt_states)
         codes, timbre = frozen_encode(batch)
@@ -119,4 +135,86 @@ def make_redecoder_train_step(
         metrics["loss/disc"] = d_loss
         return TrainState(params, opt_states, state.step + 1), metrics
 
+    return train_step
+
+
+def make_redecoder_train_step_split(
+    codec_models: Mapping[str, Any],
+    codec_params: Mapping[str, Any],
+    models: Mapping[str, Any],
+    optimizers: Mapping[str, Any],
+    donate: bool = False,
+):
+    """The redecoder step's two phases compiled as TWO separate XLA modules
+    — same remedy, semantics and caveats as `make_codec_train_step_split`
+    (train/step.py:337): the fused module at medium+ widths (frozen codec
+    encode + 16-layer WN + decoder + full 5-period/3-fft discriminator
+    fwd+bwd, 51.9 MB MLIR observed) reproducibly SIGKILLs this
+    environment's memory-capped remote compile helper. Costs one extra
+    no-grad generator forward in phase D; the two phases' fakes are
+    rng-identical but not bit-identical across the module boundary. Phase
+    G's adversarial term runs against the UPDATED discriminator (reference
+    train_redecoder.py ordering, like the codec step). Do NOT wrap the
+    returned fn in jax.jit."""
+    parts = _make_redecoder_parts(codec_models, codec_params, models)
+    frozen_encode = parts["frozen_encode"]
+    gen_forward = parts["gen_forward"]
+    disc_loss_fn = parts["disc_loss_fn"]
+    gen_loss_fn = parts["gen_loss_fn"]
+
+    def disc_phase(disc_params, disc_opt_state, gen_params, batch, rng):
+        codes, timbre = jax.lax.stop_gradient(frozen_encode(batch))
+        pred_wave = jax.lax.stop_gradient(
+            gen_forward(gen_params, codes, timbre, rng)
+        )
+        real_wave = batch["wave_seg"][:, :, None]
+        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
+            disc_params, pred_wave, real_wave
+        )
+        d_updates, new_opt = optimizers["discriminator"].update(
+            d_grads, disc_opt_state, disc_params
+        )
+        return optax.apply_updates(disc_params, d_updates), new_opt, d_loss
+
+    def gen_phase(gen_params, gen_opt_states, disc_params, batch, rng):
+        codes, timbre = jax.lax.stop_gradient(frozen_encode(batch))
+
+        def loss_fn(gp):
+            pred_wave = gen_forward(gp, codes, timbre, rng)
+            return gen_loss_fn(pred_wave, disc_params, batch)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            gen_params
+        )
+        new_params, new_opts = {}, {}
+        for key in REDECODER_GEN_KEYS:
+            updates, new_opts[key] = optimizers[key].update(
+                grads[key], gen_opt_states[key], gen_params[key]
+            )
+            new_params[key] = optax.apply_updates(gen_params[key], updates)
+        return new_params, new_opts, metrics
+
+    dkw = dict(donate_argnums=(0, 1)) if donate else {}
+    disc_jit = jax.jit(disc_phase, **dkw)
+    gen_jit = jax.jit(gen_phase, **dkw)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        params, opt_states = dict(state.params), dict(state.opt_states)
+        gen_params = {k: params[k] for k in REDECODER_GEN_KEYS}
+        new_d, new_do, d_loss = disc_jit(
+            params["discriminator"], opt_states["discriminator"],
+            gen_params, batch, rng,
+        )
+        params["discriminator"], opt_states["discriminator"] = new_d, new_do
+        new_gp, new_go, metrics = gen_jit(
+            gen_params, {k: opt_states[k] for k in REDECODER_GEN_KEYS},
+            new_d, batch, rng,
+        )
+        for key in REDECODER_GEN_KEYS:
+            params[key], opt_states[key] = new_gp[key], new_go[key]
+        metrics["loss/disc"] = d_loss
+        return TrainState(params, opt_states, state.step + 1), metrics
+
+    train_step.disc_jit = disc_jit
+    train_step.gen_jit = gen_jit
     return train_step

@@ -165,3 +165,42 @@ def test_redecoder_loop_save_resume(setup, tmp_path):
         log_dir=log_dir,
     )
     assert int(state2.step) == 4
+
+
+@pytest.mark.slow
+def test_redecoder_split_step_matches_fused(setup):
+    """make_redecoder_train_step_split (two jitted phases, extra no-grad
+    generator forward) produces the same update as the fused step — same
+    tolerance rationale as the codec's test_split_step_matches_fused:
+    metrics tight, params within 2x the step-1 AdamW move (sign flips on
+    noise-level grads across different XLA modules)."""
+    from facodec_tpu.train.redecoder_step import make_redecoder_train_step_split
+
+    codec_models, codec_params, models, params = setup
+    optimizers = build_optimizers(models.keys(), base_lr=1e-4)
+    opt_states = init_opt_states(optimizers, params)
+    batch = make_batch(np.random.default_rng(11))
+    rng = jax.random.PRNGKey(5)
+    s0 = TrainState(params, opt_states, jnp.zeros((), jnp.int32))
+
+    fused = jax.jit(make_redecoder_train_step(
+        codec_models, codec_params, models, optimizers))
+    s_a, m_a = fused(s0, batch, rng)
+    split = make_redecoder_train_step_split(
+        codec_models, codec_params, models, optimizers)
+    s_b, m_b = split(s0, batch, rng)
+
+    assert int(s_b.step) == 1
+    for k in m_a:
+        np.testing.assert_allclose(
+            float(m_b[k]), float(m_a[k]), rtol=2e-4, atol=1e-5,
+            err_msg=f"metric {k}",
+        )
+    lr_atol = 2.5e-4  # 2.5 x base_lr
+    for mod in s_a.params:
+        for x, y in zip(jax.tree.leaves(s_a.params[mod]),
+                        jax.tree.leaves(s_b.params[mod])):
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(x), rtol=2e-4, atol=lr_atol,
+                err_msg=f"params {mod}",
+            )
