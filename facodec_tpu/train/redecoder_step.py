@@ -145,25 +145,34 @@ def make_redecoder_train_step_split(
     optimizers: Mapping[str, Any],
     donate: bool = False,
 ):
-    """The redecoder step's two phases compiled as TWO separate XLA modules
-    — same remedy, semantics and caveats as `make_codec_train_step_split`
-    (train/step.py:337): the fused module at medium+ widths (frozen codec
-    encode + 16-layer WN + decoder + full 5-period/3-fft discriminator
-    fwd+bwd, 51.9 MB MLIR observed) reproducibly SIGKILLs this
-    environment's memory-capped remote compile helper. Costs one extra
-    no-grad generator forward in phase D; the two phases' fakes are
-    rng-identical but not bit-identical across the module boundary. Phase
-    G's adversarial term runs against the UPDATED discriminator (reference
-    train_redecoder.py ordering, like the codec step). Do NOT wrap the
-    returned fn in jax.jit."""
+    """The redecoder step compiled as THREE separate XLA modules (frozen
+    codec encode / disc phase / gen phase) — same remedy, semantics and
+    caveats as `make_codec_train_step_split` (train/step.py:337): the fused
+    module at medium+ widths (frozen codec encode + 16-layer WN + decoder +
+    full 5-period/3-fft discriminator fwd+bwd, 51.9 MB MLIR observed)
+    reproducibly SIGKILLs this environment's memory-capped remote compile
+    helper — and so did a two-way split that kept the codec encode inside
+    each phase, hence the third module. Costs one extra no-grad generator
+    forward in phase D (but encodes each batch once, not twice); the two
+    phases' fakes are rng-identical but not bit-identical across the module
+    boundary. Phase G's adversarial term runs against the UPDATED
+    discriminator (reference train_redecoder.py ordering, like the codec
+    step). Do NOT wrap the returned fn in jax.jit."""
     parts = _make_redecoder_parts(codec_models, codec_params, models)
-    frozen_encode = parts["frozen_encode"]
     gen_forward = parts["gen_forward"]
     disc_loss_fn = parts["disc_loss_fn"]
     gen_loss_fn = parts["gen_loss_fn"]
 
-    def disc_phase(disc_params, disc_opt_state, gen_params, batch, rng):
-        codes, timbre = jax.lax.stop_gradient(frozen_encode(batch))
+    # the frozen codec encode is its OWN module: keeping the codec
+    # encoder+quantizer out of both phase graphs is what actually shrinks
+    # them below the compile helper's cap (a two-way split still SIGKILLed
+    # at medium widths), and it encodes each batch once instead of twice
+    encode_jit = jax.jit(
+        lambda batch: jax.lax.stop_gradient(parts["frozen_encode"](batch))
+    )
+
+    def disc_phase(disc_params, disc_opt_state, gen_params, codes, timbre,
+                   batch, rng):
         pred_wave = jax.lax.stop_gradient(
             gen_forward(gen_params, codes, timbre, rng)
         )
@@ -176,9 +185,8 @@ def make_redecoder_train_step_split(
         )
         return optax.apply_updates(disc_params, d_updates), new_opt, d_loss
 
-    def gen_phase(gen_params, gen_opt_states, disc_params, batch, rng):
-        codes, timbre = jax.lax.stop_gradient(frozen_encode(batch))
-
+    def gen_phase(gen_params, gen_opt_states, disc_params, codes, timbre,
+                  batch, rng):
         def loss_fn(gp):
             pred_wave = gen_forward(gp, codes, timbre, rng)
             return gen_loss_fn(pred_wave, disc_params, batch)
@@ -201,20 +209,22 @@ def make_redecoder_train_step_split(
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         params, opt_states = dict(state.params), dict(state.opt_states)
         gen_params = {k: params[k] for k in REDECODER_GEN_KEYS}
+        codes, timbre = encode_jit(batch)
         new_d, new_do, d_loss = disc_jit(
             params["discriminator"], opt_states["discriminator"],
-            gen_params, batch, rng,
+            gen_params, codes, timbre, batch, rng,
         )
         params["discriminator"], opt_states["discriminator"] = new_d, new_do
         new_gp, new_go, metrics = gen_jit(
             gen_params, {k: opt_states[k] for k in REDECODER_GEN_KEYS},
-            new_d, batch, rng,
+            new_d, codes, timbre, batch, rng,
         )
         for key in REDECODER_GEN_KEYS:
             params[key], opt_states[key] = new_gp[key], new_go[key]
         metrics["loss/disc"] = d_loss
         return TrainState(params, opt_states, state.step + 1), metrics
 
+    train_step.encode_jit = encode_jit
     train_step.disc_jit = disc_jit
     train_step.gen_jit = gen_jit
     return train_step
