@@ -45,3 +45,27 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# Late-in-suite persistent-cache WRITES segfault: XLA's CPU
+# executable.serialize() crashes inside the jax compilation-cache write
+# (compilation_cache.put_executable_and_time) — but only after ~200 prior
+# tests' compiles in the same process (round 5: reproduced 4x at the
+# identical stack, in whichever module compiled a big executable next —
+# test_train_loop, then test_train_step after that module stopped writing;
+# each module alone passes and persists fine). Upstream XLA
+# state-dependence; workaround: after TRIP_AFTER tests, raise the
+# min-compile-time gate (checked in compiler.py BEFORE serialize) so the
+# rest of the run skips cache writes. Reads stay warm; to PERSIST the
+# late heavy entries (train loop/step, validate), run those files in
+# their own pytest process.
+_CACHE_WRITE_GUARD = {"count": 0, "tripped": False}
+_TRIP_AFTER = 150
+
+
+def pytest_runtest_setup(item):
+    _CACHE_WRITE_GUARD["count"] += 1
+    if (_CACHE_WRITE_GUARD["count"] > _TRIP_AFTER
+            and not _CACHE_WRITE_GUARD["tripped"]):
+        _CACHE_WRITE_GUARD["tripped"] = True
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10**9)

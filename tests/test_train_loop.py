@@ -20,23 +20,9 @@ from facodec_tpu.train.loop import (
 )
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_cache_writes():
-    """Persisting this module's GAN-loop executables SEGFAULTS late in a
-    full-suite run: XLA's CPU `executable.serialize()` crashes inside
-    jax's compilation-cache write (compilation_cache.py
-    put_executable_and_time) — but ONLY after ~200 prior tests' compiles
-    in the same process; the module alone passes and persists fine
-    (reproduced 3x at the identical stack, round 5). Upstream XLA
-    state-dependence we can't fix here, so this module skips cache WRITES
-    (reads still hit warm entries) by raising the min-compile-time gate,
-    which compiler.py checks before serialize."""
-    from jax._src.config import persistent_cache_min_compile_time_secs
-
-    old = persistent_cache_min_compile_time_secs.value
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10**9)
-    yield
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+# NOTE: in a FULL-suite run, tests/conftest.py's pytest_runtest_setup guard
+# disables persistent-cache WRITES before this module runs (late-in-suite
+# XLA serialize segfault — see conftest for the full story).
 
 
 @pytest.mark.slow
